@@ -1,0 +1,134 @@
+"""Bidirectional LSTM as a single fused ``lax.scan``.
+
+Replaces the reference's cuDNN ``nn.LSTM`` (src/models/dprnn.py:7-37
+SingleRNN) — the hot kernel of the whole framework: every DPRNN block runs an
+intra-chunk BiLSTM over K steps on B*S sequences and an inter-chunk (Bi)LSTM
+over S steps on B*K sequences (src/models/dprnn.py:79-99).
+
+TPU-first design:
+
+- the input projection ``x @ W_ih^T + b`` for *all* timesteps and *both*
+  directions is hoisted out of the scan into one large MXU matmul
+  ([T*B, F] x [F, 8H]);
+- both directions run in a single ``lax.scan``: the backward direction's input
+  is (mask-aware) time-flipped and stacked on a leading direction axis, so
+  each scan step does one batched matmul ([2, B, H] x [2, H, 4H]) instead of
+  two scans with half the batch;
+- the recurrent matmul accumulates in fp32 (``preferred_element_type``), gate
+  nonlinearities fuse into it on the VPU.
+
+Gate order follows torch (i, f, g, o) so converted checkpoints are exact.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tss_dprnn_tpu.ops.masking import masked_flip
+
+
+class LSTMWeights(NamedTuple):
+    """Weights for one direction, torch layouts already transposed for x @ W:
+
+    w_ih: [F, 4H]   (torch weight_ih_l0 is [4H, F])
+    w_hh: [H, 4H]   (torch weight_hh_l0 is [4H, H])
+    b:    [4H]      (torch bias_ih_l0 + bias_hh_l0)
+    """
+
+    w_ih: jax.Array
+    w_hh: jax.Array
+    b: jax.Array
+
+
+def _cell_batch(h, c, gates):
+    """gates: [..., 4H] pre-activations in torch order i,f,g,o."""
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[..., :H])
+    f = jax.nn.sigmoid(gates[..., H : 2 * H])
+    g = jnp.tanh(gates[..., 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H :])
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
+    """(Bi)LSTM over [B, T, F] -> [B, T, H * ndir], zero initial state.
+
+    ``lengths`` ([B] ints or None): when given, the backward direction reads
+    each sequence reversed *within its valid length*, matching torch on
+    unpadded inputs; forward-direction outputs at padded steps are garbage by
+    construction (mask downstream, as the reference's zero-pad chunks are).
+    """
+    B, T, F = x.shape
+    H = fwd.w_hh.shape[0]
+    if bwd is None:
+        xp = x @ fwd.w_ih + fwd.b  # [B, T, 4H]
+        xp = jnp.transpose(xp, (1, 0, 2))[:, None]  # [T, 1, B, 4H]
+        w_hh = fwd.w_hh[None]  # [1, H, 4H]
+        ndir = 1
+    else:
+        xr = masked_flip(x, lengths, time_axis=1)
+        w_ih = jnp.stack([fwd.w_ih, bwd.w_ih])  # [2, F, 4H]
+        b = jnp.stack([fwd.b, bwd.b])  # [2, 4H]
+        xx = jnp.stack([x, xr])  # [2, B, T, F]
+        xp = jnp.einsum("dbtf,dfg->tdbg", xx, w_ih) + b[None, :, None, :]
+        w_hh = jnp.stack([fwd.w_hh, bwd.w_hh])  # [2, H, 4H]
+        ndir = 2
+
+    h0 = jnp.zeros((ndir, B, H), x.dtype)
+    c0 = jnp.zeros((ndir, B, H), x.dtype)
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + jax.lax.dot_general(
+            h,
+            w_hh.astype(h.dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        h, c = _cell_batch(h, c, gates)
+        return (h, c), h
+
+    (_, _), hs = jax.lax.scan(step, (h0, c0), xp)  # hs: [T, ndir, B, H]
+    out_f = jnp.transpose(hs[:, 0], (1, 0, 2))  # [B, T, H]
+    if ndir == 1:
+        return out_f
+    out_b = masked_flip(jnp.transpose(hs[:, 1], (1, 0, 2)), lengths, time_axis=1)
+    return jnp.concatenate([out_f, out_b], axis=-1)  # [B, T, 2H]
+
+
+def gru(x, fwd, bwd=None, lengths=None):
+    """(Bi)GRU over [B, T, F]; weights use torch gate order r,z,n with
+    separate input/hidden biases: fwd = (w_ih [F,3H], w_hh [H,3H], b_ih [3H],
+    b_hh [3H]). Provided for reference API parity ('GRU' rnn_type,
+    src/models/dprnn.py:23); LSTM is the shipped path."""
+    B, T, F = x.shape
+    w_ih, w_hh, b_ih, b_hh = fwd
+    H = w_hh.shape[0]
+
+    def run(xs, w_ih, w_hh, b_ih, b_hh):
+        xp = xs @ w_ih + b_ih  # [B, T, 3H]
+        xp = jnp.transpose(xp, (1, 0, 2))
+
+        def step(h, xp_t):
+            hp = h @ w_hh + b_hh  # [B, 3H]
+            r = jax.nn.sigmoid(xp_t[..., :H] + hp[..., :H])
+            z = jax.nn.sigmoid(xp_t[..., H : 2 * H] + hp[..., H : 2 * H])
+            n = jnp.tanh(xp_t[..., 2 * H :] + r * hp[..., 2 * H :])
+            h = (1 - z) * n + z * h
+            return h, h
+
+        _, hs = jax.lax.scan(step, jnp.zeros((B, H), xs.dtype), xp)
+        return jnp.transpose(hs, (1, 0, 2))
+
+    out = run(x, w_ih, w_hh, b_ih, b_hh)
+    if bwd is None:
+        return out
+    wb_ih, wb_hh, bb_ih, bb_hh = bwd
+    xr = masked_flip(x, lengths, time_axis=1)
+    out_b = masked_flip(run(xr, wb_ih, wb_hh, bb_ih, bb_hh), lengths, time_axis=1)
+    return jnp.concatenate([out, out_b], axis=-1)
