@@ -1,0 +1,88 @@
+"""DPRNN-Spe-IRA: two-pass Iterative Refined Adaptation — TPU-native rebuild
+of reference src/models/dprnn_spe_ira.py (DPRNNSpeIRA:6, DPRNNSpeIRATasNet:117).
+
+Pass 1 embeds the clean reference (v0) and separates; the pass-1 target
+estimate d0 (in encoder space) is re-embedded through the *same* speaker
+encoder (v1), merged with v0 by ``aux_linear``, and the *same* fusion +
+bottleneck + DPRNN stack runs again. All heavy submodules are single
+instances invoked twice — weight sharing identical to the reference's module
+reuse (dprnn_spe_ira.py:60-103).
+
+Reference quirks preserved:
+- the second ``_auxiliary`` call divides by aux_T computed from the
+  *reference* length although it pools mixture-domain frames
+  (dprnn_spe_ira.py:84) — see SpeakerEncoder's split arguments;
+- the returned estimate is the *encoder-space* masked target; the TasNet
+  wrapper decodes it directly (no second mask-multiply, :179-190).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tss_dprnn_tpu.models.dprnn import Decoder, Encoder, _fit_length
+from tss_dprnn_tpu.models.dprnn_spe import DPRNNSpe, DPRNNSpeTasNet
+from tss_dprnn_tpu.models.layers import make_dense
+
+
+class DPRNNSpeIRA(DPRNNSpe):
+    """Two-pass separation core (reference dprnn_spe_ira.py:6-115).
+
+    ``__call__(features, embeddings, aux_len, lengths=None, train=False)
+    -> (target_feats [B, L, N], logits [B, num_spks])``
+
+    Unlike DPRNNSpe this returns the masked *encoder-space* target of pass 2
+    (reference :107-109), not the masks.
+    """
+
+    @nn.compact
+    def __call__(self, x, embeddings, aux_len, lengths=None, train: bool = False):
+        B, L, N = x.shape
+        spk, fuse, bottleneck_norm, bottleneck_dense, core, pred = self._submodules()
+        aux_linear = make_dense(self.embeddings_size, name="aux_linear")
+        time_mask, chunk_lengths = self._masks(lengths, L)
+
+        aux_len = None if aux_len is None else jnp.asarray(aux_len)
+        afl = None if aux_len is None else self.aux_feat_len(aux_len.astype(jnp.int32))
+        aT = None if aux_len is None else self.aux_T(aux_len)
+
+        # pass 1 (reference :59-81)
+        v0 = spk(embeddings, afl, aT, train)
+        out_norm = bottleneck_norm(x, time_mask)  # reused by both passes (:64,96)
+        h = fuse(v0, out_norm, lengths)
+        h = bottleneck_dense(h)
+        masks = core(h, time_mask, chunk_lengths)
+        d0 = masks[:, 0] * x  # [B, L, N] encoder-space pass-1 estimate
+
+        # pass 2 (reference :83-109): re-embed d0 with mixture-domain frame
+        # counts but the reference-length divisor (quirk, :84)
+        v1 = spk(d0, lengths, aT, train)
+        v1 = aux_linear(jnp.concatenate([v0, v1], axis=-1))
+        h = fuse(v1, out_norm, lengths)
+        h = bottleneck_dense(h)
+        masks = core(h, time_mask, chunk_lengths)
+        d1 = masks[:, 0] * x
+
+        logits = pred(v1)
+        return d1, logits
+
+
+class DPRNNSpeIRATasNet(DPRNNSpeTasNet):
+    """DPRNN-Spe-IRA-TasNet (reference dprnn_spe_ira.py:117-190): decodes the
+    encoder-space pass-2 target directly."""
+
+    separation_cls = DPRNNSpeIRA
+
+    @nn.compact
+    def __call__(self, mix, aux, aux_len, lengths=None, train: bool = False):
+        B, T = mix.shape
+        encoder = Encoder(self.kernel_size, self.input_size, self._stride(), name="encoder")
+        feats = encoder(mix)
+        embeddings = encoder(aux)
+        f_lengths = self.feat_lengths(lengths) if lengths is not None else None
+        target, logits = self._separation()(
+            feats, embeddings, aux_len, lengths=f_lengths, train=train
+        )
+        wav = Decoder(self.input_size, self.kernel_size, self._stride(), name="decoder")(target)
+        return _fit_length(wav, T), logits

@@ -1,0 +1,149 @@
+"""Shared flax.linen building blocks for the model zoo.
+
+Thin parameter-owning wrappers over the pure kernels in ``tss_dprnn_tpu.ops``.
+Initializers mirror torch defaults (uniform ±1/sqrt(fan)) so from-scratch
+training dynamics are comparable to the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tss_dprnn_tpu.ops import norms as norms_ops
+from tss_dprnn_tpu.ops import rnn as rnn_ops
+
+
+def torch_uniform_init(fan_in: int):
+    k = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -k, k)
+
+    return init
+
+
+def make_dense(features: int, use_bias: bool = True, name: str = None, dtype=None):
+    """torch-initialized nn.Dense (kernel [in, out], so torch weight.T)."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+        bias_init=nn.initializers.zeros,
+        name=name,
+        dtype=dtype,
+    )
+
+
+class RNNCore(nn.Module):
+    """(Bi)RNN over [B*, T, F] -> [B*, T, H*ndir] — the reference SingleRNN
+    (src/models/dprnn.py:7-37) as a fused-scan kernel with torch param layout.
+
+    rnn_type: 'LSTM' (primary, fused bidirectional scan), 'GRU', or 'RNN'.
+    """
+
+    hidden_size: int
+    bidirectional: bool = True
+    rnn_type: str = "LSTM"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, lengths=None):
+        F = x.shape[-1]
+        H = self.hidden_size
+        u_f, u_h = torch_uniform_init(H), torch_uniform_init(H)
+        if self.rnn_type == "LSTM":
+            G = 4 * H
+        elif self.rnn_type == "GRU":
+            G = 3 * H
+        elif self.rnn_type == "RNN":
+            G = H
+        else:
+            raise ValueError(f"rnn_type must be LSTM/GRU/RNN, got {self.rnn_type}")
+
+        def direction(tag):
+            w_ih = self.param(f"w_ih_{tag}", u_f, (F, G))
+            w_hh = self.param(f"w_hh_{tag}", u_h, (H, G))
+            b_ih = self.param(f"b_ih_{tag}", u_h, (G,))
+            b_hh = self.param(f"b_hh_{tag}", u_h, (G,))
+            return w_ih, w_hh, b_ih, b_hh
+
+        fwd = direction("f")
+        bwd = direction("b") if self.bidirectional else None
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            fwd = jax.tree.map(lambda a: a.astype(self.dtype), fwd)
+            bwd = jax.tree.map(lambda a: a.astype(self.dtype), bwd) if bwd else None
+        if self.rnn_type == "LSTM":
+            to_lstm = lambda w: rnn_ops.LSTMWeights(w[0], w[1], w[2] + w[3])
+            return rnn_ops.lstm(x, to_lstm(fwd), to_lstm(bwd) if bwd else None, lengths)
+        if self.rnn_type == "GRU":
+            return rnn_ops.gru(x, fwd, bwd, lengths)
+        return rnn_ops.vanilla_rnn(x, fwd, bwd, lengths)
+
+    def output_size(self) -> int:
+        return self.hidden_size * (2 if self.bidirectional else 1)
+
+
+class GlobalNorm(nn.Module):
+    """Channels-last global layer norm: 'gLN' (GlobLN, eps=1e-8) or 'ln'
+    (torch GroupNorm(1, C), eps=1e-5). Reference norms.py / dprnn.py:72-77."""
+
+    channels: int
+    norm_type: str = "gLN"
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
+        beta = self.param("beta", nn.initializers.zeros, (self.channels,))
+        eps = norms_ops.GLOBLN_EPS if self.norm_type == "gLN" else norms_ops.GROUPNORM_EPS
+        return norms_ops.global_channel_norm_cl(x, gamma, beta, eps=eps, mask=mask)
+
+
+class PReLU(nn.Module):
+    """torch nn.PReLU(): one shared slope, init 0.25 (reference dprnn.py:154)."""
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("a", nn.initializers.constant(0.25), (1,))
+        return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
+
+
+class BatchNorm(nn.Module):
+    """torch BatchNorm1d semantics over channels-last inputs [..., C].
+
+    Normalizes per channel over all other axes with batch statistics when
+    ``use_running_average=False`` (training), running stats otherwise.
+    torch defaults: eps=1e-5, momentum=0.1 (new = 0.9*old + 0.1*batch).
+    """
+
+    channels: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        C = self.channels
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x - mean), axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for ax in axes:
+                    n *= x.shape[ax]
+                unbiased = var * (n / max(n - 1, 1))  # torch tracks unbiased var
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * inv * scale + bias

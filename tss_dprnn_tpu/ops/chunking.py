@@ -97,3 +97,67 @@ def overlap_add(x, L: int, hop_length: int):
     out = jnp.zeros((B, N, Lp + K), x.dtype)
     out = out.at[:, :, idx].add(flat)
     return out[:, :, K : K + L]
+
+
+# ---------------------------------------------------------------------------
+# Channels-last variants — the layouts the TPU model core actually uses.
+# Keeping the feature axis last puts it on the 128-lane dimension, so the
+# LSTM/Dense consumers need no transposes; the torch-layout functions above
+# remain as the parity/test surface.
+# ---------------------------------------------------------------------------
+
+
+def segment_cl(x, chunk_length: int, hop_length: int):
+    """[B, L, N] -> [B, S, K, N] overlapping chunks (channels-last)."""
+    K, H = chunk_length, hop_length
+    B, L, N = x.shape
+    S = num_chunks(L, K, H)
+    padded = jnp.pad(x, ((0, 0), (K, K), (0, 0)))
+    Lp = L + 2 * K
+    if K % H == 0:
+        r = K // H
+        chunks = []
+        for j in range(r):
+            n_j = (S - j + r - 1) // r
+            start = j * H
+            need = start + n_j * K
+            strip = padded
+            if need > Lp:
+                strip = jnp.pad(strip, ((0, 0), (0, need - Lp), (0, 0)))
+            strip = strip[:, start : start + n_j * K, :]
+            chunks.append(strip.reshape(B, n_j, K, N))
+        n_max = max(c.shape[1] for c in chunks)
+        stacked = jnp.stack(
+            [jnp.pad(c, ((0, 0), (0, n_max - c.shape[1]), (0, 0), (0, 0))) for c in chunks],
+            axis=2,
+        )  # [B, n_max, r, K, N]
+        return stacked.reshape(B, n_max * r, K, N)[:, :S]
+    starts = jnp.arange(S) * H
+    idx = starts[:, None] + jnp.arange(K)[None, :]  # [S, K]
+    return jnp.take(padded, jnp.minimum(idx, Lp - 1).reshape(-1), axis=1).reshape(B, S, K, N)
+
+
+def overlap_add_cl(x, L: int, hop_length: int):
+    """[B, S, K, N] -> [B, L, N]; adjoint of :func:`segment_cl` (sums overlaps)."""
+    B, S, K, N = x.shape
+    H = hop_length
+    Lp = L + 2 * K
+    if K % H == 0:
+        r = K // H
+        total = None
+        for j in range(r):
+            n_j = (S - j + r - 1) // r
+            if n_j <= 0:
+                continue
+            strip = x[:, j::r].reshape(B, n_j * K, N)
+            start = j * H
+            pad_right = Lp - (start + n_j * K)
+            strip = jnp.pad(strip, ((0, 0), (start, max(pad_right, 0)), (0, 0)))
+            strip = strip[:, :Lp]
+            total = strip if total is None else total + strip
+        return total[:, K : K + L]
+    starts = jnp.arange(S) * H
+    idx = (starts[:, None] + jnp.arange(K)[None, :]).reshape(-1)
+    out = jnp.zeros((B, Lp + K, N), x.dtype)
+    out = out.at[:, idx].add(x.reshape(B, S * K, N))
+    return out[:, K : K + L]

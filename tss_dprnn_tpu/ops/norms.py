@@ -72,3 +72,18 @@ def glob_ln(x, gamma, beta, mask=None):
 def chan_ln(x, gamma, beta, mask=None):
     """torch nn.GroupNorm(1, C) equivalent ('ln' in reference configs)."""
     return global_channel_norm(x, gamma, beta, eps=GROUPNORM_EPS, mask=mask)
+
+
+def global_channel_norm_cl(x, gamma, beta, eps: float, mask=None):
+    """Channels-LAST global LN: x [B, *spatial, C], affine on the last axis.
+
+    Same statistics as :func:`global_channel_norm` (mean/var over everything
+    but batch); this is the layout the model core uses so the affine rides the
+    128-lane dimension.
+    """
+    axes = tuple(range(1, x.ndim))
+    out = z_norm(x, axes, eps=eps, mask=mask)
+    out = gamma.astype(x.dtype) * out + beta.astype(x.dtype)
+    if mask is not None:
+        out = out * jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+    return out

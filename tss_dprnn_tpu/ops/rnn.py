@@ -101,6 +101,32 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     return jnp.concatenate([out_f, out_b], axis=-1)  # [B, T, 2H]
 
 
+def vanilla_rnn(x, fwd, bwd=None, lengths=None):
+    """(Bi) tanh-RNN over [B, T, F] (torch nn.RNN): h = tanh(xW_ih + b_ih + hW_hh + b_hh).
+
+    fwd/bwd = (w_ih [F,H], w_hh [H,H], b_ih [H], b_hh [H]). Reference API
+    parity for rnn_type='RNN' (src/models/dprnn.py:23)."""
+    B, T, F = x.shape
+
+    def run(xs, w_ih, w_hh, b_ih, b_hh):
+        H = w_hh.shape[0]
+        xp = jnp.transpose(xs @ w_ih + b_ih + b_hh, (1, 0, 2))
+
+        def step(h, xp_t):
+            h = jnp.tanh(xp_t + h @ w_hh)
+            return h, h
+
+        _, hs = jax.lax.scan(step, jnp.zeros((B, H), xs.dtype), xp)
+        return jnp.transpose(hs, (1, 0, 2))
+
+    out = run(x, *fwd)
+    if bwd is None:
+        return out
+    xr = masked_flip(x, lengths, time_axis=1)
+    out_b = masked_flip(run(xr, *bwd), lengths, time_axis=1)
+    return jnp.concatenate([out, out_b], axis=-1)
+
+
 def gru(x, fwd, bwd=None, lengths=None):
     """(Bi)GRU over [B, T, F]; weights use torch gate order r,z,n with
     separate input/hidden biases: fwd = (w_ih [F,3H], w_hh [H,3H], b_ih [3H],
