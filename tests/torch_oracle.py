@@ -321,3 +321,176 @@ def oracle_ira(sd, cfg: Cfg, mix, aux, aux_len):
 
     logits = F.linear(v1, sd["separation.pred_linear.weight"], sd["separation.pred_linear.bias"])
     return _decoder(d1, sd, cfg), logits
+
+
+# ------------------------------------------------------------------ RawNet3
+
+
+@dataclass
+class RawCfg:
+    C: int = 64
+    model_scale: int = 4
+    nOut: int = 16
+    sinc_stride: int = 16
+    sinc_kernel: int = 251
+    sample_rate: float = 16000.0
+
+
+def make_rawnet_sd(sd, rcfg: RawCfg, g, prefix="separation.spk_encoder."):
+    """Append RawNet3 entries (reference RawNet3.py module tree) to ``sd``."""
+    C, s = rcfg.C, rcfg.model_scale
+    width = C // s
+    sd[prefix + "preprocess.0.flipped_filter"] = torch.tensor([[[-0.97, 1.0]]])
+    sd[prefix + "preprocess.1.weight"] = 1.0 + 0.1 * _rand(g, 1)
+    sd[prefix + "preprocess.1.bias"] = 0.1 * _rand(g, 1)
+    from tss_dprnn_tpu.ops.sinc import mel_init_bands
+
+    low, band = mel_init_bands(C // 8, rcfg.sample_rate)
+    sd[prefix + "conv1.filterbank.low_hz_"] = torch.from_numpy(low) * (1 + 0.05 * _rand(g, C // 8, 1))
+    sd[prefix + "conv1.filterbank.band_hz_"] = torch.from_numpy(band) * (1 + 0.05 * _rand(g, C // 8, 1))
+    _bn_entries(sd, prefix + "bn1.", C // 4, g)  # defined-but-unused in forward
+    for lyr, (c_in, pool) in {"layer1": (C // 4, 5), "layer2": (C, 3), "layer3": (C, 0)}.items():
+        p = prefix + lyr + "."
+        sd[p + "conv1.weight"] = _rand(g, width * s, c_in, 1)
+        sd[p + "conv1.bias"] = _rand(g, width * s)
+        _bn_entries(sd, p + "bn1.", width * s, g)
+        for i in range(s - 1):
+            sd[p + f"convs.{i}.weight"] = _rand(g, width, width, 3)
+            sd[p + f"convs.{i}.bias"] = _rand(g, width)
+            _bn_entries(sd, p + f"bns.{i}.", width, g)
+        sd[p + "conv3.weight"] = _rand(g, C, width * s, 1)
+        sd[p + "conv3.bias"] = _rand(g, C)
+        _bn_entries(sd, p + "bn3.", C, g)
+        if c_in != C:
+            sd[p + "residual.0.weight"] = _rand(g, C, c_in, 1)
+        sd[p + "afms.alpha"] = torch.ones(C, 1) + 0.1 * _rand(g, C, 1)
+        sd[p + "afms.fc.weight"] = _rand(g, C, C)
+        sd[p + "afms.fc.bias"] = _rand(g, C)
+    sd[prefix + "layer4.weight"] = _rand(g, 1536, 3 * C, 1)
+    sd[prefix + "layer4.bias"] = _rand(g, 1536)
+    sd[prefix + "attention.0.weight"] = _rand(g, 128, 1536 * 3, 1)
+    sd[prefix + "attention.0.bias"] = _rand(g, 128)
+    _bn_entries(sd, prefix + "attention.2.", 128, g)
+    sd[prefix + "attention.3.weight"] = _rand(g, 1536, 128, 1)
+    sd[prefix + "attention.3.bias"] = _rand(g, 1536)
+    _bn_entries(sd, prefix + "bn5.", 3072, g)
+    sd[prefix + "fc6.weight"] = _rand(g, rcfg.nOut, 3072)
+    sd[prefix + "fc6.bias"] = _rand(g, rcfg.nOut)
+    return sd
+
+
+def make_rawnet_model_sd(cfg: Cfg, rcfg: RawCfg, seed=0):
+    """Full DPRNNRawNetTasNet state_dict (fusion att, RawNet3 spk branch)."""
+    g = torch.Generator().manual_seed(seed)
+    sd = make_separation_sd(cfg, g)
+    N, E = cfg.input_size, cfg.embeddings_size
+    sd["encoder.conv1d.weight"] = _rand(g, N, 1, cfg.kernel_size)
+    sd["decoder.weight"] = _rand(g, N, 1, cfg.kernel_size)
+    if cfg.fusion_type in ("add", "mul", "att"):
+        sd["separation.fusion_linear.weight"] = _rand(g, N, E)
+        sd["separation.fusion_linear.bias"] = _rand(g, N)
+    if cfg.fusion_type == "att":
+        sd["separation.average.weight"] = torch.ones(N, 1, cfg.kernel_size) / cfg.kernel_size
+        sd["separation.average.bias"] = torch.zeros(N)
+    sd["separation.pred_linear.weight"] = _rand(g, cfg.num_spks, E)
+    sd["separation.pred_linear.bias"] = _rand(g, cfg.num_spks)
+    make_rawnet_sd(sd, rcfg, g)
+    return sd
+
+
+def _bn_eval(x, sd, p):
+    return F.batch_norm(
+        x, sd[p + "running_mean"], sd[p + "running_var"],
+        sd[p + "weight"], sd[p + "bias"], False, 0.1, 1e-5,
+    )
+
+
+def _t_bottle2neck(x, sd, p, rcfg: RawCfg, dilation, pool):
+    C, s = rcfg.C, rcfg.model_scale
+    width = C // s
+    num_pad = dilation  # floor(3/2) * dilation
+    if p + "residual.0.weight" in sd:
+        residual = F.conv1d(x, sd[p + "residual.0.weight"])
+    else:
+        residual = x
+    out = F.conv1d(x, sd[p + "conv1.weight"], sd[p + "conv1.bias"])
+    out = F.relu(out)
+    out = _bn_eval(out, sd, p + "bn1.")
+    spx = torch.split(out, width, 1)
+    for i in range(s - 1):
+        sp = spx[i] if i == 0 else sp + spx[i]
+        sp = F.conv1d(sp, sd[p + f"convs.{i}.weight"], sd[p + f"convs.{i}.bias"],
+                      dilation=dilation, padding=num_pad)
+        sp = F.relu(sp)
+        sp = _bn_eval(sp, sd, p + f"bns.{i}.")
+        out = sp if i == 0 else torch.cat((out, sp), 1)
+    out = torch.cat((out, spx[s - 1]), 1)
+    out = F.conv1d(out, sd[p + "conv3.weight"], sd[p + "conv3.bias"])
+    out = F.relu(out)
+    out = _bn_eval(out, sd, p + "bn3.")
+    out = out + residual
+    if pool:
+        out = F.max_pool1d(out, pool)
+    # AFMS
+    y = F.adaptive_avg_pool1d(out, 1).view(out.size(0), -1)
+    y = torch.sigmoid(F.linear(y, sd[p + "afms.fc.weight"], sd[p + "afms.fc.bias"]))
+    out = (out + sd[p + "afms.alpha"]) * y.unsqueeze(-1)
+    return out
+
+
+def oracle_rawnet_emb(sd, wav, rcfg: RawCfg, prefix="separation.spk_encoder."):
+    """RawNet3 forward (reference RawNet3.py:72-136), eval-mode BN, with sinc
+    filters synthesized by our shared ops.sinc implementation."""
+    from tss_dprnn_tpu.ops.sinc import sinc_filters
+    import numpy as _np
+
+    x = wav.unsqueeze(1)
+    x = F.pad(x, (1, 0), "reflect")
+    x = F.conv1d(x, sd[prefix + "preprocess.0.flipped_filter"])
+    x = F.instance_norm(x, None, None, sd[prefix + "preprocess.1.weight"],
+                        sd[prefix + "preprocess.1.bias"], True, 0.1, 1e-4)
+    filters = _np.asarray(sinc_filters(
+        sd[prefix + "conv1.filterbank.low_hz_"].numpy(),
+        sd[prefix + "conv1.filterbank.band_hz_"].numpy(),
+        rcfg.sinc_kernel, rcfg.sample_rate,
+    ))
+    x = torch.abs(F.conv1d(x, torch.from_numpy(filters), stride=rcfg.sinc_stride))
+    x = torch.log(x + 1e-6)
+    x = x - torch.mean(x, dim=-1, keepdim=True)
+    x1 = _t_bottle2neck(x, sd, prefix + "layer1.", rcfg, dilation=2, pool=5)
+    x2 = _t_bottle2neck(x1, sd, prefix + "layer2.", rcfg, dilation=3, pool=3)
+    x3 = _t_bottle2neck(F.max_pool1d(x1, 3) + x2, sd, prefix + "layer3.", rcfg, dilation=4, pool=0)
+    x = F.conv1d(torch.cat((F.max_pool1d(x1, 3), x2, x3), dim=1),
+                 sd[prefix + "layer4.weight"], sd[prefix + "layer4.bias"])
+    x = F.relu(x)
+    t = x.size()[-1]
+    global_x = torch.cat(
+        (x,
+         torch.mean(x, dim=2, keepdim=True).repeat(1, 1, t),
+         torch.sqrt(torch.var(x, dim=2, keepdim=True).clamp(min=1e-4, max=1e4)).repeat(1, 1, t)),
+        dim=1,
+    )
+    w = F.conv1d(global_x, sd[prefix + "attention.0.weight"], sd[prefix + "attention.0.bias"])
+    w = F.relu(w)
+    w = _bn_eval(w, sd, prefix + "attention.2.")
+    w = F.conv1d(w, sd[prefix + "attention.3.weight"], sd[prefix + "attention.3.bias"])
+    w = F.softmax(w, dim=2)
+    mu = torch.sum(x * w, dim=2)
+    sg = torch.sqrt((torch.sum((x ** 2) * w, dim=2) - mu ** 2).clamp(min=1e-4, max=1e4))
+    x = torch.cat((mu, sg), 1)
+    x = _bn_eval(x, sd, prefix + "bn5.")
+    return F.linear(x, sd[prefix + "fc6.weight"], sd[prefix + "fc6.bias"])
+
+
+def oracle_rawnet(sd, cfg: Cfg, rcfg: RawCfg, mix, aux16):
+    """DPRNNRawNetTasNet forward (reference dprnn_rawnet.py:72-101,171-182)."""
+    enc = _encoder(mix, sd, cfg)
+    B, _, L = enc.shape
+    aux_v = oracle_rawnet_emb(sd, aux16, rcfg)
+    h = _norm(enc, sd, "separation.bottleneck.0.", cfg.norm_type)
+    h = _fusion(aux_v, h, sd, cfg, L)
+    h = F.conv1d(h, sd["separation.bottleneck.1.weight"], sd["separation.bottleneck.1.bias"])
+    masks = _mask_head(h, sd, cfg, B, L)
+    logits = F.linear(aux_v, sd["separation.pred_linear.weight"], sd["separation.pred_linear.bias"])
+    out = masks * enc.unsqueeze(1)
+    return _decoder(out[:, 0], sd, cfg), logits

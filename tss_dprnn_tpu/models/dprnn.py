@@ -296,6 +296,12 @@ class DPRNNTasNet(nn.Module):
         )(feats, f_lengths)  # [B, 2, L, N]
         out = masks * feats[:, None]  # [B, 2, L, N]
         L = out.shape[2]
+        if f_lengths is not None:
+            # zero the padded feature frames: the exact-length run has no such
+            # frames, and the transposed-conv decoder would smear them into
+            # the last valid output sample
+            fm = (jnp.arange(L)[None, None, :, None] < f_lengths[:, None, None, None]).astype(out.dtype)
+            out = out * fm
         out = out.reshape(B * 2, L, self.input_size)
         wav = Decoder(self.input_size, self.kernel_size, self._stride(), name="decoder")(out)
         return _fit_length(wav, T).reshape(B, 2, T)

@@ -28,6 +28,11 @@ class DPRNNRawNet(DPRNNSpe):
     lengths=None, train=False) -> (masks [B, 2, L, N], logits)``.
     """
 
+    rawnet_C: int = 1024
+    rawnet_scale: int = 8
+    rawnet_sinc_stride: int = 10
+    rawnet_sample_rate: float = 16000.0
+
     @nn.compact
     def __call__(self, x, aux_wav, aux_len=None, lengths=None, train: bool = False):
         B, L, N = x.shape
@@ -37,15 +42,17 @@ class DPRNNRawNet(DPRNNSpe):
         core = DPRNNCore(**_core_kwargs(self), name="core")
         pred = make_dense(self.num_spks, name="pred_linear")
         spk = RawNet3(
-            model_scale=8,
+            model_scale=self.rawnet_scale,
             context=True,
             summed=True,
+            C=self.rawnet_C,
             encoder_type="ECA",
             nOut=self.embeddings_size,
             out_bn=False,
-            sinc_stride=10,
+            sinc_stride=self.rawnet_sinc_stride,
             log_sinc=True,
             norm_sinc="mean",
+            sample_rate=self.rawnet_sample_rate,
             name="spk_encoder",
         )
         time_mask, chunk_lengths = self._masks(lengths, L)
@@ -68,6 +75,19 @@ class DPRNNRawNetTasNet(DPRNNSpeTasNet):
 
     separation_cls = DPRNNRawNet
 
+    rawnet_C: int = 1024
+    rawnet_scale: int = 8
+    rawnet_sinc_stride: int = 10
+    rawnet_sample_rate: float = 16000.0
+
+    def _separation_kwargs(self):
+        return dict(
+            rawnet_C=self.rawnet_C,
+            rawnet_scale=self.rawnet_scale,
+            rawnet_sinc_stride=self.rawnet_sinc_stride,
+            rawnet_sample_rate=self.rawnet_sample_rate,
+        )
+
     @nn.compact
     def __call__(self, mix, aux, aux_len=None, lengths=None, train: bool = False):
         B, T = mix.shape
@@ -78,5 +98,9 @@ class DPRNNRawNetTasNet(DPRNNSpeTasNet):
             feats, aux, aux_len=aux_len, lengths=f_lengths, train=train
         )
         target = masks[:, 0] * feats
+        if f_lengths is not None:
+            L = target.shape[1]
+            fm = (jnp.arange(L)[None, :, None] < f_lengths[:, None, None]).astype(target.dtype)
+            target = target * fm
         wav = Decoder(self.input_size, self.kernel_size, self._stride(), name="decoder")(target)
         return _fit_length(wav, T), logits

@@ -255,8 +255,12 @@ class DPRNNSpeTasNet(nn.Module):
     def feat_lengths(self, lengths):
         return (lengths - self.kernel_size) // self._stride() + 1
 
+    def _separation_kwargs(self):
+        return {}
+
     def _separation(self):
         return self.separation_cls(
+            **self._separation_kwargs(),
             input_size=self.input_size,
             feature_size=self.feature_size,
             hidden_size=self.hidden_size,
@@ -289,5 +293,9 @@ class DPRNNSpeTasNet(nn.Module):
             feats, embeddings, aux_len, lengths=f_lengths, train=train
         )
         target = masks[:, 0] * feats  # only speaker 0 is decoded (ref :325)
+        if f_lengths is not None:
+            L = target.shape[1]
+            fm = (jnp.arange(L)[None, :, None] < f_lengths[:, None, None]).astype(target.dtype)
+            target = target * fm  # padded frames would smear into the last valid sample
         wav = Decoder(self.input_size, self.kernel_size, self._stride(), name="decoder")(target)
         return _fit_length(wav, T), logits

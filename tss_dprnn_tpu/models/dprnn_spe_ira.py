@@ -84,5 +84,9 @@ class DPRNNSpeIRATasNet(DPRNNSpeTasNet):
         target, logits = self._separation()(
             feats, embeddings, aux_len, lengths=f_lengths, train=train
         )
+        if f_lengths is not None:
+            L = target.shape[1]
+            fm = (jnp.arange(L)[None, :, None] < f_lengths[:, None, None]).astype(target.dtype)
+            target = target * fm
         wav = Decoder(self.input_size, self.kernel_size, self._stride(), name="decoder")(target)
         return _fit_length(wav, T), logits

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tss_dprnn_tpu.models.layers import BatchNorm, make_dense
+from tss_dprnn_tpu.ops import sinc as sinc_ops
 from tss_dprnn_tpu.ops.conv import conv1d
 from tss_dprnn_tpu.ops.masking import masked_softmax
 
@@ -85,45 +86,15 @@ class ParamSincFB(nn.Module):
     @nn.compact
     def __call__(self, wav, lengths=None):
         n_band = self.n_filters // 2
-        high_hz = self.sample_rate / 2 - (self.min_low_hz + self.min_band_hz)
-        to_mel = lambda hz: 2595.0 * np.log10(1.0 + hz / 700.0)
-        to_hz = lambda mel: 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
-        mel = np.linspace(to_mel(self.min_low_hz), to_mel(high_hz), n_band + 1)
-        hz = to_hz(mel)
-
-        low_hz = self.param(
-            "low_hz_", lambda k, s: jnp.asarray(hz[:-1], jnp.float32).reshape(s), (n_band, 1)
+        low_init, band_init = sinc_ops.mel_init_bands(
+            n_band, self.sample_rate, self.min_low_hz, self.min_band_hz
         )
-        band_hz = self.param(
-            "band_hz_", lambda k, s: jnp.asarray(np.diff(hz), jnp.float32).reshape(s), (n_band, 1)
+        low_hz = self.param("low_hz_", lambda k, s: jnp.asarray(low_init), (n_band, 1))
+        band_hz = self.param("band_hz_", lambda k, s: jnp.asarray(band_init), (n_band, 1))
+        filters = sinc_ops.sinc_filters(
+            low_hz, band_hz, self.kernel_size, self.sample_rate,
+            self.min_low_hz, self.min_band_hz,
         )
-
-        k = self.kernel_size
-        half = k // 2
-        # negative-time axis and half Hamming window (SincNet formulation)
-        n_neg = 2.0 * math.pi * jnp.arange(-half, 0.0, dtype=jnp.float32) / self.sample_rate
-        window = jnp.asarray(np.hamming(k)[:half].copy(), jnp.float32)
-
-        low = self.min_low_hz + jnp.abs(low_hz)  # [n_band, 1]
-        high = jnp.clip(
-            low + self.min_band_hz + jnp.abs(band_hz), self.min_low_hz, self.sample_rate / 2
-        )
-        band = (high - low)[:, 0]  # [n_band]
-
-        f_lo = low * n_neg[None, :]  # [n_band, half]
-        f_hi = high * n_neg[None, :]
-        # cosine-phase (even) band-pass: classic SincNet
-        bp_left = ((jnp.sin(f_hi) - jnp.sin(f_lo)) / (n_neg[None, :] / 2.0)) * window[None, :]
-        bp_center = 2.0 * band[:, None]
-        cos_f = jnp.concatenate([bp_left, bp_center, jnp.flip(bp_left, axis=1)], axis=1)
-        cos_f = cos_f / (2.0 * band[:, None])
-        # sine-phase (odd) Hilbert pair
-        sp_left = ((jnp.cos(f_lo) - jnp.cos(f_hi)) / (n_neg[None, :] / 2.0)) * window[None, :]
-        sp_center = jnp.zeros_like(band)[:, None]
-        sin_f = jnp.concatenate([sp_left, sp_center, -jnp.flip(sp_left, axis=1)], axis=1)
-        sin_f = sin_f / (2.0 * band[:, None])
-
-        filters = jnp.stack([cos_f, sin_f], axis=1).reshape(self.n_filters, 1, k)
         out = conv1d(wav[:, None, :], filters, stride=self.stride)  # [B, n_filters, T']
         return jnp.transpose(out, (0, 2, 1))
 
@@ -267,8 +238,9 @@ class RawNet3(nn.Module):
             mean = jnp.mean(x, axis=1, keepdims=True)
             std = jnp.maximum(jnp.std(x, axis=1, keepdims=True), 0.001)
             x = (x - mean) / std
-        x = nn.relu(x)
-        x = BatchNorm(C // 4, name="bn1")(x, use_running_average=not train)
+        # NB: the reference *defines* relu+bn1 after the sinc front-end but
+        # never applies them in forward (RawNet3.py:33-34 vs :89-99) — we
+        # reproduce the executed graph, and the converter drops bn1.*
         x = _time_mask(x, l0)
 
         layer1 = Bottle2neck(C // 4, C, 3, 2, self.model_scale, pool=5, name="layer1")

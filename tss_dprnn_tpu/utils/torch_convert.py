@@ -106,17 +106,17 @@ def _rawnet_entry(base: Path, rest: str, value):
     if rest.startswith("conv1.filterbank."):
         leaf = rest.rsplit(".", 1)[1]  # low_hz_ / band_hz_
         return ("params", base + ("conv1", leaf), _id(value))
-    m = re.fullmatch(r"bn1\.(.+)", rest)
-    if m:
-        return _bn_rule(base + ("bn1",), m.group(1), value)
+    if re.fullmatch(r"bn1\..+", rest):
+        return None  # defined but unused in the reference forward (RawNet3.py:34)
     m = re.fullmatch(r"layer([123])\.(.+)", rest)
     if m:
         lyr, sub = m.groups()
         lp = base + (f"layer{lyr}",)
-        if sub.startswith("conv1."):
-            return ("params", lp + ("conv1", sub.rsplit(".", 1)[1]), _conv1x1(value) if sub.endswith("weight") else _id(value))
-        if sub.startswith("conv3."):
-            return ("params", lp + ("conv3", sub.rsplit(".", 1)[1]), _conv1x1(value) if sub.endswith("weight") else _id(value))
+        for cname in ("conv1", "conv3"):
+            if sub.startswith(cname + "."):
+                leaf = sub.rsplit(".", 1)[1]
+                return ("params", lp + (cname, "kernel" if leaf == "weight" else "bias"),
+                        _conv1x1(value) if leaf == "weight" else _id(value))
         m2 = re.fullmatch(r"convs\.(\d+)\.(weight|bias)", sub)
         if m2:
             i, leaf = m2.groups()
@@ -278,9 +278,12 @@ def convert_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         if hasattr(value, "detach"):  # torch tensor without importing torch
             value = value.detach().cpu().numpy()
         try:
-            coll, path, arr = _convert_one(key, value)
+            entry = _convert_one(key, value)
         except KeyError as e:
             raise KeyError(f"don't know how to convert checkpoint entry {key!r}") from e
+        if entry is None:
+            continue
+        coll, path, arr = entry
         node = out.setdefault(coll, {})
         for part in path[:-1]:
             node = node.setdefault(part, {})
