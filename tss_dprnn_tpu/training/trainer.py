@@ -1,0 +1,263 @@
+"""Base trainer (BSS) — reference src/trainers/trainer.py:16-306 rebuilt
+around one jitted SPMD step.
+
+Epoch orchestration reproduces the reference: best-loss tracking with
+``best_loss`` start sentinel, best/last checkpoint naming, rolling retention,
+early stop after ``early_stop`` non-improving epochs, per-``print_freq`` step
+logs with the running ``-loss`` convention, eval-mixture audio demos via the
+reporter. Departures (documented in SURVEY.md §5 as reference warts):
+checkpoint-load failures hard-fail; the resume epoch defaults to the
+checkpoint's saved epoch; the ``is_metrics`` in-training metric path actually
+works (the reference's is broken, trainer.py:253-255).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from tss_dprnn_tpu.ops import losses
+from tss_dprnn_tpu.parallel import make_mesh, param_shardings, shard_batch
+from tss_dprnn_tpu.training.schedulers import ExponentialDecay, ReduceLROnPlateau
+from tss_dprnn_tpu.training.train_state import TrainState, create_train_state, make_optimizer
+from tss_dprnn_tpu.utils.checkpoint import CheckpointManager, load_checkpoint_variables, to_pure_tree
+from tss_dprnn_tpu.utils.logging_util import get_logger
+
+
+class Trainer:
+    """BSS trainer: PIT SI-SDR loss over [B, 2, T] (reference trainer.py:39,104)."""
+
+    mode = "bss"
+
+    def __init__(self, model, config: Dict[str, Any], logger=None, reporter=None,
+                 eval_mixtures: Optional[Dict] = None, mesh=None, seed: int = 0):
+        self.model = model
+        self.config = config
+        self.logger = logger or get_logger("trainer")
+        self.reporter = reporter
+        self.eval_mixtures = eval_mixtures or {}
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+
+        self.cur_epoch = int(config.get("cur_epoch", 0))
+        self.print_freq = int(config.get("print_freq", 5))
+        self.sample_rate = int(config.get("data", {}).get("sample_rate", 8000))
+        self.is_metrics = bool(config.get("is_metrics", False))
+        self.metrics = ["si_sdr", "pesq", "stoi"]
+
+        opt_cfg = config.get("optimizer", {})
+        self.base_lr = float(opt_cfg.get("lr", 1e-3))
+        self.weight_decay = float(opt_cfg.get("weight_decay", 0.0))
+        self.clip_norm = float(config.get("clip_norm") or 0.0)
+
+        sched = config.get("lr_scheduler", {}) or {}
+        decay_rate = sched.get("decay_rate")
+        if decay_rate is not None:
+            self.logger.info("lr_scheduler is ExponentialDecay.")
+            self.lr_scheduler = ExponentialDecay(self.base_lr, float(decay_rate))
+            self.plateau = False
+        else:
+            self.logger.info("lr_scheduler is ReduceLROnPlateau.")
+            self.lr_scheduler = ReduceLROnPlateau(
+                self.base_lr, float(sched.get("factor", 0.5)), int(sched.get("patience", 2))
+            )
+            self.plateau = True
+
+        self.checkpoint_path = config.get("checkpoint_path")
+        self.ckpt = CheckpointManager(
+            config.get("new_checkpoints_path", "./chkpts"), int(config.get("n_checkpoints", 1000))
+        )
+
+        self.state: Optional[TrainState] = None
+        self._train_step = None
+        self._eval_step = None
+        self.logger.info(
+            "devices: %s (mesh %s)", jax.device_count(), dict(self.mesh.shape)
+        )
+
+    # ------------------------------------------------------------- model glue
+
+    def _example_args(self, batch):
+        return (batch["mix"][:1],), {}
+
+    def _forward_loss(self, variables, batch, train: bool):
+        """Returns (loss, batch_stats_updates, aux_dict). Overridden per mode."""
+        out = self.model.apply(variables, batch["mix"])
+        loss = losses.pit_sisdr_loss(out, batch["sources"])
+        return loss, {}, {}
+
+    # ---------------------------------------------------------------- lifecycle
+
+    def _ensure_state(self, batch):
+        if self.state is not None:
+            return
+        tx = make_optimizer(self.base_lr, self.weight_decay, self.clip_norm or None)
+        args, kwargs = self._example_args(batch)
+        state = create_train_state(self.model, jax.random.PRNGKey(self.seed), args, tx, kwargs)
+        if self.checkpoint_path:
+            self.logger.info("Continue training from checkpoint: %s.", self.checkpoint_path)
+            loaded = load_checkpoint_variables(self.checkpoint_path, state.variables)
+            state = state.replace(
+                params=loaded["variables"]["params"],
+                batch_stats=loaded["variables"].get("batch_stats", state.batch_stats),
+            )
+            if "cur_epoch" not in self.config or self.config.get("cur_epoch") in (None, 0):
+                self.cur_epoch = loaded["epoch"]
+        else:
+            self.logger.info("Starting new training run.")
+        # replicate over the mesh (DP) / apply TP rules when model axis > 1
+        shardings = param_shardings({"params": state.params, "batch_stats": state.batch_stats},
+                                    self.mesh)
+        placed = jax.device_put({"params": state.params, "batch_stats": state.batch_stats},
+                                shardings)
+        self.state = state.replace(params=placed["params"], batch_stats=placed["batch_stats"])
+        self._build_steps()
+
+    def _build_steps(self):
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch):
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                loss, new_bs, aux = self._forward_loss(variables, batch, train=True)
+                return loss, (new_bs, aux)
+
+            (loss, (new_bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads)
+            if new_bs:
+                state = state.replace(batch_stats=new_bs)
+            return state, loss, aux
+
+        @jax.jit
+        def eval_step(state: TrainState, batch):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            loss, _, aux = self._forward_loss(variables, batch, train=False)
+            return loss, aux
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # ------------------------------------------------------------------ epochs
+
+    def train(self, dataloader) -> float:
+        self.logger.info("Set train mode...")
+        num_steps = len(dataloader)
+        total_loss = 0.0
+        start_time = time.time()
+        for step, batch in enumerate(dataloader):
+            self._ensure_state(batch)
+            sharded = shard_batch(batch, self.mesh)
+            self.state, loss, aux = self._train_step(self.state, sharded)
+            total_loss += float(loss)
+            if step % self.print_freq == 0:
+                self._log_step(step, total_loss, aux)
+        end_time = time.time()
+        return self._log_epoch(total_loss, max(num_steps, 1), start_time, end_time, "train")
+
+    def eval(self, dataloader) -> float:
+        self.logger.info("Set eval mode...")
+        num_steps = len(dataloader)
+        total_loss = 0.0
+        start_time = time.time()
+        for step, batch in enumerate(dataloader):
+            self._ensure_state(batch)
+            sharded = shard_batch(batch, self.mesh)
+            loss, _ = self._eval_step(self.state, sharded)
+            total_loss += float(loss)
+            if step % self.print_freq == 0:
+                self._log_step(step, total_loss, {})
+        end_time = time.time()
+        return self._log_epoch(total_loss, max(num_steps, 1), start_time, end_time, "eval")
+
+    def run(self, train_loader, eval_loader, n_epochs: int, early_stop: int):
+        best_loss = 100500.0  # reference sentinel (trainer.py:181)
+        no_improve_cnt = 0
+        while self.cur_epoch < n_epochs:
+            self.logger.info("Initiating epoch %d.", self.cur_epoch)
+            self.cur_epoch += 1
+            self.train(train_loader)
+            eval_loss = self.eval(eval_loader)
+
+            lr = self.lr_scheduler.step(eval_loss) if self.plateau else self.lr_scheduler.step()
+            self.state = self.state.set_learning_rate(lr)
+
+            if eval_loss >= best_loss:
+                no_improve_cnt += 1
+                self.logger.info("No improvement, Best Loss: %.4f.", -best_loss)
+            else:
+                best_loss = eval_loss
+                no_improve_cnt = 0
+                self._save_checkpoint(best=True)
+                self.logger.info(
+                    "Epoch: %d, Now Best Loss Change: %.4f.", self.cur_epoch, -best_loss
+                )
+                self._mixtures_inference()
+            if no_improve_cnt == early_stop:
+                self.logger.info("Stop training cause no impr for %d epochs", no_improve_cnt)
+                break
+        self._save_checkpoint(best=False)
+        self.logger.info("Training for %d/%d epoches done!", self.cur_epoch, n_epochs)
+
+    # ------------------------------------------------------------------- logs
+
+    def _log_step(self, step, total_loss, aux):
+        self.logger.info(
+            "<epoch:%d, iter:%d, lr:%.3e, loss:%.3f>.",
+            self.cur_epoch,
+            step,
+            self.state.learning_rate if self.state else self.base_lr,
+            -total_loss / (step + 1),
+        )
+
+    def _log_epoch(self, total_loss, num_steps, start_time, end_time, mode_name):
+        total_loss = total_loss / num_steps
+        if self.reporter is not None:
+            self.reporter.add_and_report(
+                logs={"step": self.cur_epoch, "loss": -total_loss, "metrics": None},
+                mode=mode_name,
+            )
+        self.logger.info(
+            "Finished *** <epoch:%d, iter:%d, loss:%.3f, Total time:%.3f min>.",
+            self.cur_epoch, num_steps, -total_loss, (end_time - start_time) / 60,
+        )
+        return total_loss
+
+    # ------------------------------------------------------------- inference
+
+    def _mixtures_inference(self):
+        if not self.eval_mixtures or self.state is None:
+            return
+        mixtures = self.eval_mixtures
+        for mid, item in mixtures.items():
+            mix = np.asarray(item["mix"], np.float32)[None]
+            out = self.model.apply(self.state.variables, mix)
+            sources = np.stack([item["s1_target"], item["s2_target"]])[None]
+            _, est = losses.pit_sisdr_loss(out, sources, return_est=True)
+            est = np.asarray(est)[0]
+            item["s1_estimated"] = est[0]
+            item["s2_estimated"] = est[1]
+        if self.reporter is not None:
+            self.reporter.add_and_report(
+                logs={"step": self.cur_epoch, "mixtures": mixtures}, mode="inference"
+            )
+
+    # ----------------------------------------------------------- checkpoints
+
+    def _save_checkpoint(self, best: bool = False):
+        # like the reference we persist the model (+epoch); its 'optimizer'
+        # entry is never consumed on warm start (trainer.py:70-77 loads only
+        # 'model'), so optimizer moments are not serialized here
+        tree = {
+            "epoch": self.cur_epoch,
+            "params": to_pure_tree(self.state.params),
+            "batch_stats": to_pure_tree(self.state.batch_stats),
+        }
+        path = self.ckpt.save(self.cur_epoch, tree, best=best)
+        self.logger.info("Saved checkpoint: %s", path)
