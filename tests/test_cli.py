@@ -1,0 +1,73 @@
+"""End-to-end CLI: generate manifests -> train (tiny) -> test, through the
+real entry points with a YAML config — the reference's scripts/ workflow."""
+
+import json
+
+import numpy as np
+import yaml
+
+from tests.fixtures import make_mini_librimix
+from tss_dprnn_tpu.cli import generate_manifests, test as test_cli, train as train_cli
+
+TINY_MODEL = dict(
+    target="dprnn_spe_tasnet", input_size=8, feature_size=12, hidden_size=10,
+    chunk_length=40, kernel_size=2, hop_length=20, n_repeats=1, norm_type="ln",
+    O=8, P=12, embeddings_size=8, num_spks=8, fusion_type="att",
+)
+
+
+def test_cli_full_workflow(tmp_path):
+    csv = make_mini_librimix(str(tmp_path / "wavs"), n_mix=8, min_sec=1.0, max_sec=1.5)
+
+    # 1) freeze manifests
+    gen_cfg = dict(
+        dataset_type="librimix_spe", sample_rate=8000, n_src=2, segment=0.5, seed=0,
+        train_path=csv, eval_path=csv, test_path=csv,
+        train_out=str(tmp_path / "m/train.json"),
+        eval_out=str(tmp_path / "m/eval.json"),
+        test_out=str(tmp_path / "m/test.json"),
+    )
+    p = tmp_path / "gen.yaml"
+    p.write_text(yaml.safe_dump(gen_cfg))
+    generate_manifests.main(["--config", str(p)])
+    assert (tmp_path / "m/test.json").exists()
+
+    # 2) train 1 epoch
+    train_cfg = dict(
+        name="t", is_test=False,
+        data=dict(
+            use_generated_train=str(tmp_path / "m/train.json"),
+            use_generated_eval=str(tmp_path / "m/eval.json"),
+            batch_size=4, sample_rate=8000, seed=0,
+        ),
+        model=TINY_MODEL,
+        optimizer=dict(lr=1e-3, weight_decay=1e-5),
+        lr_scheduler=dict(patience=2, factor=0.5, decay_rate=None),
+        logs=dict(metadata=dict(ids=[0])),
+        print_freq=100, clip_norm=5, cur_epoch=0, epochs=1, early_stop=10,
+        ce_gamma=0.5, checkpoint_path=None, n_checkpoints=5,
+        new_checkpoints_path=str(tmp_path / "chkpts"),
+    )
+    p = tmp_path / "train.yaml"
+    p.write_text(yaml.safe_dump(train_cfg))
+    train_cli.main(["--config", str(p), "--mode", "tss_spe"])
+    ckpts = list((tmp_path / "chkpts").iterdir())
+    assert ckpts, "training produced no checkpoints"
+    best = [c for c in ckpts if "best" in c.name][0]
+
+    # 3) evaluate with the trained checkpoint
+    test_cfg = dict(
+        name="e", is_test=True,
+        data=dict(use_generated_test=str(tmp_path / "m/test.json"), sample_rate=8000),
+        model=TINY_MODEL,
+        checkpoint_path=str(best),
+        test_savedir=str(tmp_path / "metrics"),
+        metrics=["si_sdr", "stoi"],
+    )
+    p = tmp_path / "test.yaml"
+    p.write_text(yaml.safe_dump(test_cfg))
+    final = test_cli.main(["--config", str(p), "--mode", "tss_spe",
+                           "--batch-size", "4", "--n-buckets", "2"])
+    assert np.isfinite(final["si_sdr"])
+    saved = json.loads((tmp_path / "metrics" / "final_metrics.json").read_text())
+    assert set(saved) == {"si_sdr", "si_sdr_imp", "stoi", "stoi_imp"}

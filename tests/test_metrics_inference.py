@@ -1,0 +1,102 @@
+"""Host metrics (SI-SDR/STOI) sanity + end-to-end bucketed inference
+producing the reference's all_metrics.csv / final_metrics.json schema."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.fixtures import SR, make_mini_librimix
+from tss_dprnn_tpu.data.librimix import Librimix, LibrimixSpe
+from tss_dprnn_tpu.inference import Inferencer, InferencerSpe
+from tss_dprnn_tpu.models import DPRNNSpeTasNet, DPRNNTasNet
+from tss_dprnn_tpu.ops import metrics as M
+from tss_dprnn_tpu.utils.checkpoint import CheckpointManager
+
+TINY = dict(input_size=8, feature_size=12, hidden_size=10, chunk_length=40,
+            kernel_size=2, hop_length=20, n_repeats=1, norm_type="ln")
+
+
+def _speech_like(T, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(T) / SR
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3 * t))
+    x = env * np.sin(2 * np.pi * 220 * t) + 0.3 * env * np.sin(2 * np.pi * 440 * t)
+    return (x + 0.02 * rng.standard_normal(T)).astype(np.float32)
+
+
+def test_si_sdr_host():
+    x = _speech_like(SR * 2, 0)
+    assert M.si_sdr(x, x) > 60
+    noisy = x + 0.1 * np.random.default_rng(1).standard_normal(len(x)).astype(np.float32)
+    v = M.si_sdr(noisy, x)
+    assert 5 < v < 40
+
+
+def test_stoi_behaves():
+    x = _speech_like(SR * 3, 0)
+    clean_score = M.stoi(x, x, SR)
+    assert clean_score > 0.98
+    rng = np.random.default_rng(2)
+    light = M.stoi(x, x + 0.05 * rng.standard_normal(len(x)).astype(np.float32), SR)
+    heavy = M.stoi(x, x + 1.0 * rng.standard_normal(len(x)).astype(np.float32), SR)
+    assert clean_score >= light > heavy
+    assert heavy < 0.75
+
+
+def test_get_metrics_schema():
+    x = _speech_like(SR * 2, 3)
+    est = x + 0.05 * np.random.default_rng(3).standard_normal(len(x)).astype(np.float32)
+    mix = x + 0.3 * np.random.default_rng(4).standard_normal(len(x)).astype(np.float32)
+    md = M.get_metrics(mix, x, est, SR, ["si_sdr", "stoi", "pesq"])
+    for key in ["si_sdr", "input_si_sdr", "stoi", "input_stoi", "pesq", "input_pesq"]:
+        assert key in md
+    assert md["si_sdr"] > md["input_si_sdr"]
+
+
+def _save_random_checkpoint(tmp_path, model, example_args):
+    variables = model.init(jax.random.PRNGKey(0), *example_args)
+    ck = CheckpointManager(str(tmp_path / "chkpts"))
+    tree = {"epoch": 1, "params": jax.tree.map(np.asarray, variables["params"]),
+            "batch_stats": jax.tree.map(np.asarray, variables.get("batch_stats", {}))}
+    return ck.save(1, tree, best=True)
+
+
+def test_bss_inferencer_end_to_end(tmp_path):
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=2.5)
+    test_set = Librimix(csv_path=csv, segment=None)
+    model = DPRNNTasNet(**TINY)
+    path = _save_random_checkpoint(tmp_path, model, (np.zeros((1, SR), np.float32),))
+    config = {"checkpoint_path": path, "test_savedir": str(tmp_path / "metrics"),
+              "data": {"sample_rate": SR}, "metrics": ["si_sdr", "stoi"]}
+    inf = Inferencer(model, config)
+    final = inf.run(test_set, batch_size=3, n_buckets=2, bucket_multiple=4000)
+    assert set(final) == {"si_sdr", "si_sdr_imp", "stoi", "stoi_imp"}
+    saved = json.loads((tmp_path / "metrics" / "final_metrics.json").read_text())
+    assert saved["si_sdr"] == pytest.approx(final["si_sdr"])
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "metrics" / "all_metrics.csv", index_col=0)
+    assert len(df) == 6
+    assert {"si_sdr", "input_si_sdr", "stoi", "input_stoi"} <= set(df.columns)
+
+
+def test_spe_inferencer_end_to_end(tmp_path):
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=2.0)
+    test_set = LibrimixSpe(csv_path=csv, segment=None)
+    model = DPRNNSpeTasNet(**TINY, O=8, P=12, embeddings_size=8, num_spks=8, fusion_type="att")
+    z = np.zeros((1, SR), np.float32)
+    path = _save_random_checkpoint(tmp_path, model, (z, z, np.array([SR], np.float32)))
+    config = {"checkpoint_path": path, "test_savedir": str(tmp_path / "metrics_spe"),
+              "data": {"sample_rate": SR}, "metrics": ["si_sdr", "stoi"]}
+    inf = InferencerSpe(model, config)
+    final = inf.run(test_set, batch_size=2, n_buckets=2, bucket_multiple=4000)
+    assert np.isfinite(final["si_sdr"])
+
+
+def test_inferencer_requires_checkpoint(tmp_path):
+    model = DPRNNTasNet(**TINY)
+    with pytest.raises(ValueError):
+        Inferencer(model, {"checkpoint_path": None, "data": {"sample_rate": SR}})

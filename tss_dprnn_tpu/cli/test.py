@@ -1,0 +1,47 @@
+"""Full-test-set evaluation entry point (reference scripts/test/test.py —
+with the mode-choices bug fixed: the reference's argparse only accepts
+'bss'/'tss' while its dispatcher needs 'tss_spe'/'tss_rawnet', test.py:32).
+
+    python -m tss_dprnn_tpu.cli.test --config cfg.yaml --mode tss_spe
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from tss_dprnn_tpu.cli.common import MODES, dataset_for, inference_components
+from tss_dprnn_tpu.models.registry import build_model
+from tss_dprnn_tpu.reporters import Reporter
+from tss_dprnn_tpu.utils.config import load_config, model_config
+from tss_dprnn_tpu.utils.logging_util import get_logger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="tss_dprnn_tpu evaluation")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--mode", default="bss", choices=MODES)
+    parser.add_argument("--set", nargs="*", default=[])
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--n-buckets", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    logger = get_logger("test")
+    config = load_config(args.config, args.set)
+    config.setdefault("is_test", True)
+    spe, InferencerClass = inference_components(args.mode)
+
+    logger.info("Initializing test set....")
+    test_set = dataset_for(config, "test", spe)
+    logger.info("test set len: %d", len(test_set))
+
+    reporter = Reporter(config, logger)
+    model = build_model(model_config(config))
+    inferencer = InferencerClass(model, config, logger=logger, reporter=reporter)
+    final = inferencer.run(test_set, batch_size=args.batch_size, n_buckets=args.n_buckets)
+    logger.info("FINAL: %s", final)
+    reporter.wandb_finish()
+    return final
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Training entry point (reference scripts/train/train.py).
+
+    python -m tss_dprnn_tpu.cli.train --config cfg.yaml --mode tss_spe \
+        [--set data.batch_size=8 optimizer.lr=5e-4 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from tss_dprnn_tpu.cli.common import MODES, dataset_for, eval_mixtures_from, train_components
+from tss_dprnn_tpu.data.loader import TrainLoader
+from tss_dprnn_tpu.models.registry import build_model
+from tss_dprnn_tpu.reporters import Reporter
+from tss_dprnn_tpu.utils.config import load_config, model_config
+from tss_dprnn_tpu.utils.logging_util import get_logger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="tss_dprnn_tpu training")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--mode", default="bss", choices=MODES)
+    parser.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
+    args = parser.parse_args(argv)
+
+    logger = get_logger("train")
+    config = load_config(args.config, args.set)
+    spe, collate_fn, TrainerClass = train_components(args.mode)
+
+    logger.info("RUN %s", config.get("name"))
+    logger.info("Initializing Datasets and Dataloaders....")
+    data_cfg = config["data"]
+    train_set = dataset_for(config, "train", spe)
+    eval_set = dataset_for(config, "eval", spe)
+    train_loader = TrainLoader(
+        train_set, data_cfg.get("batch_size", 5), collate_fn,
+        shuffle=True, drop_last=True, seed=data_cfg.get("seed", 0),
+    )
+    eval_loader = TrainLoader(
+        eval_set, data_cfg.get("batch_size", 5), collate_fn,
+        shuffle=False, drop_last=True, seed=data_cfg.get("seed", 0),
+    )
+    logger.info("train dataloader len: %d", len(train_loader))
+    logger.info("eval dataloader len: %d", len(eval_loader))
+
+    eval_mixtures = eval_mixtures_from(config, eval_set, spe, logger)
+    reporter = Reporter(config, logger) if spe or (config.get("logs") or {}) else None
+
+    logger.info("Initializing model....")
+    model = build_model(model_config(config))
+
+    logger.info("Initializing trainer....")
+    trainer = TrainerClass(model, config, logger=logger, reporter=reporter,
+                           eval_mixtures=eval_mixtures)
+
+    logger.info("Initiating trainer run...")
+    trainer.run(train_loader, eval_loader, config.get("epochs", 10),
+                config.get("early_stop", 10))
+    logger.info("trainer run COMPLETED")
+    if reporter:
+        reporter.wandb_finish()
+
+
+if __name__ == "__main__":
+    main()

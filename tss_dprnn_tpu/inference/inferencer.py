@@ -1,0 +1,124 @@
+"""BSS inferencer — reference src/inferencers/inferencer.py:11-97.
+
+Semantics kept: a checkpoint is mandatory (ValueError otherwise, ref :44-46);
+PIT is used to *reorder* estimated sources before metrics (ref :29-30, 60);
+results land in ``all_metrics.csv`` and ``final_metrics.json`` with the
+``{metric, metric_imp}`` schema (ref :80-97). Canonical behavior fix
+(SURVEY.md §7): the model always runs in eval mode (the reference forgets
+``model.eval()`` for BSS/Spe, inconsistently with RawNet).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from tss_dprnn_tpu.data.loader import BucketedEvalLoader, collate_bss_eval
+from tss_dprnn_tpu.ops import metrics as metrics_mod
+from tss_dprnn_tpu.utils.checkpoint import load_checkpoint_variables
+from tss_dprnn_tpu.utils.logging_util import get_logger
+
+
+def _pit_reorder_host(est: np.ndarray, sources: np.ndarray) -> np.ndarray:
+    """Best-permutation reorder by SI-SDR (asteroid PITLossWrapper
+    return_est behavior). est/sources: [n, T]."""
+    n = est.shape[0]
+    best_perm, best_val = None, -np.inf
+    for p in itertools.permutations(range(n)):
+        val = np.mean([metrics_mod.si_sdr(est[list(p)][j], sources[j]) for j in range(n)])
+        if val > best_val:
+            best_val, best_perm = val, p
+    return est[list(best_perm)]
+
+
+class Inferencer:
+    mode = "bss"
+
+    def __init__(self, model, config: Dict[str, Any], logger=None, reporter=None,
+                 example_init_args=None):
+        self.model = model
+        self.config = config
+        self.logger = logger or get_logger("inferencer")
+        self.reporter = reporter
+        self.sample_rate = int(config.get("data", {}).get("sample_rate", 8000))
+        self.metrics = list(config.get("metrics", ["si_sdr", "stoi", "pesq"]))
+        self.test_savedir = config.get("test_savedir", ".")
+        checkpoint_path = config.get("checkpoint_path")
+        if checkpoint_path is None:
+            self.logger.info("No pretrained model was provided.")
+            raise ValueError("checkpoint_path is required for inference")
+        self.logger.info("Testing for pretrained: %s.", checkpoint_path)
+        target = None
+        if example_init_args is not None:
+            target = model.init(jax.random.PRNGKey(0), *example_init_args)
+        self.variables = load_checkpoint_variables(checkpoint_path, target)["variables"]
+        self._fwd = jax.jit(self._forward)
+
+    # -------------------------------------------------------------- forward
+
+    def _forward(self, batch):
+        return self.model.apply(self.variables, batch["mix"], lengths=batch["lengths"])
+
+    def _run_forward(self, batch):
+        return np.asarray(self._fwd({"mix": batch["mix"], "lengths": batch["lengths"]}))
+
+    def _make_loader(self, test_set, batch_size, n_buckets, multiple):
+        return BucketedEvalLoader(
+            test_set, batch_size, collate_bss_eval, test_set.lengths(),
+            n_buckets=n_buckets, multiple=multiple,
+        )
+
+    def _item_rows(self, batch, out) -> List[Dict[str, Any]]:
+        rows = []
+        B = batch["mix"].shape[0]
+        for b in range(B):
+            l = int(batch["lengths"][b])
+            mix = batch["mix"][b, :l]
+            sources = batch["sources"][b, :, :l]
+            est = _pit_reorder_host(np.asarray(out[b])[:, :l], sources)
+            md = metrics_mod.get_metrics(mix, sources, est, self.sample_rate, self.metrics)
+            md["index"] = int(batch["indices"][b])
+            rows.append(md)
+        return rows
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, test_set, batch_size: int = 8, n_buckets: int = 8,
+            bucket_multiple: int = 2000):
+        series_list: List[Dict[str, Any]] = []
+        start_time = time.time()
+        loader = self._make_loader(test_set, batch_size, n_buckets, bucket_multiple)
+        for batch in loader:
+            out = self._run_forward(batch)
+            series_list.extend(self._item_rows(batch, out))
+        self.logger.info("Finished *** <Total time:%.3f min>.", (time.time() - start_time) / 60)
+        return self._save_result(series_list)
+
+    # ---------------------------------------------------------------- output
+
+    def _save_result(self, series_list):
+        os.makedirs(self.test_savedir, exist_ok=True)
+        all_metrics_df = pd.DataFrame(series_list).sort_values("index").drop(columns=["index"])
+        all_metrics_df.to_csv(os.path.join(self.test_savedir, "all_metrics.csv"))
+        final_results = {}
+        for metric_name in self.metrics:
+            col = all_metrics_df[metric_name]
+            if col.isnull().all():
+                final_results[metric_name] = None
+                final_results[metric_name + "_imp"] = None
+                continue
+            ldf = col - all_metrics_df["input_" + metric_name]
+            final_results[metric_name] = col.mean()
+            final_results[metric_name + "_imp"] = ldf.mean()
+        self.logger.info("Overall metrics :")
+        self.logger.info(final_results)
+        with open(os.path.join(self.test_savedir, "final_metrics.json"), "w") as f:
+            json.dump(final_results, f, indent=0)
+        return final_results

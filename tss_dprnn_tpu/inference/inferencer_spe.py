@@ -1,0 +1,70 @@
+"""TSS inferencer — reference src/inferencers/inferencer_spe.py:14-68: the
+forward takes the reference waveform + its length; metrics are single-source
+(target vs estimate); each utterance can emit a wandb test-table row."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+from tss_dprnn_tpu.data.loader import BucketedEvalLoader, make_collate_spe_eval
+from tss_dprnn_tpu.inference.inferencer import Inferencer
+from tss_dprnn_tpu.ops import metrics as metrics_mod
+
+
+class InferencerSpe(Inferencer):
+    mode = "tss_spe"
+
+    resample_ref_to = None  # RawNet subclass overrides
+
+    def _forward(self, batch):
+        est, _ = self.model.apply(
+            self.variables, batch["mix"], batch["reference"], batch["ref_len"],
+            lengths=batch["lengths"], train=False,
+        )
+        return est
+
+    def _run_forward(self, batch):
+        keys = ("mix", "reference", "ref_len", "lengths")
+        return np.asarray(self._fwd({k: batch[k] for k in keys}))
+
+    def _make_loader(self, test_set, batch_size, n_buckets, multiple):
+        collate = make_collate_spe_eval(
+            resample_ref_to=self.resample_ref_to, sample_rate=self.sample_rate
+        )
+        return BucketedEvalLoader(
+            test_set, batch_size, collate, test_set.lengths(),
+            n_buckets=n_buckets, multiple=multiple,
+        )
+
+    def _item_rows(self, batch, out) -> List[Dict[str, Any]]:
+        rows = []
+        for b in range(batch["mix"].shape[0]):
+            l = int(batch["lengths"][b])
+            mix = batch["mix"][b, :l]
+            target = batch["target"][b, :l]
+            est = np.asarray(out[b])[:l]
+            md = metrics_mod.get_metrics(mix, target, est, self.sample_rate, self.metrics)
+            md["index"] = int(batch["indices"][b])
+            rows.append(md)
+            if self.reporter is not None:
+                rl = int(batch["ref_len"][b])
+
+                def imp(name):
+                    a, ia = md.get(name), md.get("input_" + name)
+                    return (a - ia) if (a is not None and ia is not None) else None
+
+                self.reporter.add_and_report(
+                    logs={
+                        "id": int(batch["indices"][b]),
+                        "mix": mix, "target": target, "estimated": est,
+                        "reference": batch["reference"][b, :rl],
+                        "si_sdr": md.get("si_sdr"), "stoi": md.get("stoi"),
+                        "pesq": md.get("pesq"),
+                        "si_sdr_imp": imp("si_sdr"), "stoi_imp": imp("stoi"),
+                        "pesq_imp": imp("pesq"),
+                    },
+                    mode="test",
+                )
+        return rows

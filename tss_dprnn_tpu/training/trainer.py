@@ -40,7 +40,7 @@ class Trainer:
         self.logger = logger or get_logger("trainer")
         self.reporter = reporter
         self.eval_mixtures = eval_mixtures or {}
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh  # None -> sized to the first batch in _ensure_state
         self.seed = seed
 
         self.cur_epoch = int(config.get("cur_epoch", 0))
@@ -75,9 +75,6 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self._train_step = None
         self._eval_step = None
-        self.logger.info(
-            "devices: %s (mesh %s)", jax.device_count(), dict(self.mesh.shape)
-        )
 
     # ------------------------------------------------------------- model glue
 
@@ -95,6 +92,15 @@ class Trainer:
     def _ensure_state(self, batch):
         if self.state is not None:
             return
+        if self.mesh is None:
+            # data axis must divide the batch: use the largest divisor of the
+            # batch size that fits the device count
+            import math
+
+            B = int(np.asarray(batch["mix"]).shape[0])
+            data = math.gcd(B, jax.device_count())
+            self.mesh = make_mesh(data=data)
+        self.logger.info("devices: %s (mesh %s)", jax.device_count(), dict(self.mesh.shape))
         tx = make_optimizer(self.base_lr, self.weight_decay, self.clip_norm or None)
         args, kwargs = self._example_args(batch)
         state = create_train_state(self.model, jax.random.PRNGKey(self.seed), args, tx, kwargs)

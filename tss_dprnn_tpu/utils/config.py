@@ -1,0 +1,60 @@
+"""Single config system (YAML -> dict with dotted overrides).
+
+Replaces the reference's fragile Hydra + argparse double parse (train.py:29-35,
+test.py:29-35 — SURVEY.md §5.6): one YAML file, a ``--mode`` flag, and
+``key.path=value`` overrides. Reference YAML configs port unchanged: the
+model section's Hydra ``_target_`` is resolved by models.registry, and the
+optimizer section's ``_target_`` is ignored in favor of its lr/weight_decay.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+def load_config(path: str, overrides: Optional[List[str]] = None) -> Dict[str, Any]:
+    with open(path) as f:
+        config = yaml.safe_load(f) or {}
+    for item in overrides or []:
+        key, _, raw = item.partition("=")
+        set_by_path(config, key.strip(), yaml.safe_load(raw))
+    return config
+
+
+def set_by_path(config: Dict[str, Any], dotted: str, value: Any) -> None:
+    node = config
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def merged(base: Dict[str, Any], extra: Dict[str, Any]) -> Dict[str, Any]:
+    out = copy.deepcopy(base)
+
+    def rec(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                rec(dst[k], v)
+            else:
+                dst[k] = v
+
+    rec(out, extra)
+    return out
+
+
+def model_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    """The model section, normalized for models.registry.build_model."""
+    mc = dict(config.get("model") or {})
+    if "_target_" in mc and "target" not in mc:
+        mc["target"] = mc.pop("_target_")
+    return mc
+
+
+def optimizer_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    oc = dict(config.get("optimizer") or {})
+    oc.pop("_target_", None)  # torch class path in reference configs
+    return oc
