@@ -1,0 +1,71 @@
+"""Headline benchmark: separated audio-seconds per wall-clock second per chip.
+
+Flagship DPRNN-Spe-TasNet (attention fusion, reference shipped hparams,
+SURVEY.md §2.1) running jitted batched inference on 10-second 8 kHz
+utterances. The north-star target is >=50x realtime per chip (BASELINE.json);
+``vs_baseline`` is the achieved realtime factor divided by 50.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from tss_dprnn_tpu.models import DPRNNSpeTasNet
+
+    from __graft_entry__ import FLAGSHIP
+
+    B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 8
+    secs = float(sys.argv[sys.argv.index("--secs") + 1]) if "--secs" in sys.argv else 10.0
+    sr = 8000
+    T = int(secs * sr)
+
+    model = DPRNNSpeTasNet(**FLAGSHIP)
+    rng = np.random.default_rng(0)
+    mix = rng.standard_normal((B, T)).astype(np.float32)
+    aux = rng.standard_normal((B, T)).astype(np.float32)
+    aux_len = np.full((B,), float(T), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), mix[:1], aux[:1], aux_len[:1])
+
+    @jax.jit
+    def fwd(mix, aux, aux_len):
+        wav, _ = model.apply(variables, mix, aux, aux_len)
+        return wav
+
+    mix_d = jax.device_put(mix)
+    aux_d = jax.device_put(aux)
+    len_d = jax.device_put(aux_len)
+
+    # compile + warmup
+    fwd(mix_d, aux_d, len_d).block_until_ready()
+    fwd(mix_d, aux_d, len_d).block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(mix_d, aux_d, len_d)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    audio_sec = iters * B * secs
+    realtime = audio_sec / dt
+    print(json.dumps({
+        "metric": "separated_audio_sec_per_sec_per_chip",
+        "value": round(realtime, 2),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round(realtime / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
