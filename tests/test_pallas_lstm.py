@@ -1,0 +1,57 @@
+"""Pallas fused LSTM vs the lax.scan path (interpret mode on CPU; the same
+kernel compiles natively on TPU — exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tss_dprnn_tpu.ops import rnn
+from tss_dprnn_tpu.ops.pallas_lstm import lstm_scan_pallas
+
+
+def _weights(rng, F, H):
+    return rnn.LSTMWeights(
+        rng.standard_normal((F, 4 * H)).astype(np.float32) * 0.2,
+        rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2,
+        rng.standard_normal(4 * H).astype(np.float32) * 0.1,
+    )
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_pallas_matches_scan(rng, bidirectional, monkeypatch):
+    # interpret=True lets the TPU kernel run on CPU for testing
+    import tss_dprnn_tpu.ops.pallas_lstm as pk
+    import functools
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    pk.lstm_scan_pallas._clear_cache() if hasattr(pk.lstm_scan_pallas, "_clear_cache") else None
+
+    B, T, F, H = 3, 12, 128, 128
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    fwd = _weights(rng, F, H)
+    bwd = _weights(rng, F, H) if bidirectional else None
+    ref = np.asarray(rnn.lstm(x, fwd, bwd))
+    with rnn.lstm_backend("pallas"):
+        got = np.asarray(rnn.lstm(x, fwd, bwd))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_masked_lengths(rng, monkeypatch):
+    import functools
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    B, T, F, H = 3, 10, 128, 128
+    lengths = np.array([10, 7, 4], np.int32)
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    fwd = _weights(rng, F, H)
+    bwd = _weights(rng, F, H)
+    ref = np.asarray(rnn.lstm(x, fwd, bwd, lengths=lengths))
+    with rnn.lstm_backend("pallas"):
+        got = np.asarray(rnn.lstm(x, fwd, bwd, lengths=lengths))
+    for b, l in enumerate(lengths):
+        np.testing.assert_allclose(got[b, :l], ref[b, :l], atol=2e-5, rtol=2e-5)

@@ -56,9 +56,24 @@ def info(path: str) -> dict:
     return dict(rate=fmt["rate"], channels=fmt["channels"], frames=data_size // fmt["block"])
 
 
-def read(path: str, start: int = 0, stop: Optional[int] = None, dtype=np.float32):
+def read(path: str, start: int = 0, stop: Optional[int] = None, dtype=np.float32,
+         prefer_native: bool = True):
     """Read frames [start, stop) as float32 in [-1, 1]; returns (data, rate).
-    Mono files give [T]; multichannel [T, C] (soundfile convention)."""
+    Mono files give [T]; multichannel [T, C] (soundfile convention).
+
+    Uses the native C++ decoder (data/native.py) when built; the numpy path
+    below is the reference implementation and fallback."""
+    if prefer_native:
+        try:
+            from tss_dprnn_tpu.data import native
+
+            if native.available():
+                with open(path, "rb") as f:
+                    fmt, _, _ = _find_chunks(f)
+                if fmt["channels"] == 1:  # native fast path is mono
+                    return native.read(path, start, stop).astype(dtype, copy=False), fmt["rate"]
+        except Exception:
+            pass  # fall back to the numpy reader
     with open(path, "rb") as f:
         fmt, data_off, data_size = _find_chunks(f)
         n_frames = data_size // fmt["block"]

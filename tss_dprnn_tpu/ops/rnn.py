@@ -22,12 +22,31 @@ Gate order follows torch (i, f, g, o) so converted checkpoints are exact.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from tss_dprnn_tpu.ops.masking import masked_flip
+
+# 'xla' (lax.scan, differentiable, default) | 'pallas' (fused TPU kernel,
+# inference path — see ops/pallas_lstm.py)
+_LSTM_BACKEND: contextvars.ContextVar = contextvars.ContextVar("lstm_backend", default="xla")
+
+
+@contextlib.contextmanager
+def lstm_backend(name: str):
+    token = _LSTM_BACKEND.set(name)
+    try:
+        yield
+    finally:
+        _LSTM_BACKEND.reset(token)
+
+
+def current_lstm_backend() -> str:
+    return _LSTM_BACKEND.get()
 
 
 class LSTMWeights(NamedTuple):
@@ -65,6 +84,8 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     """
     B, T, F = x.shape
     H = fwd.w_hh.shape[0]
+    if _LSTM_BACKEND.get() == "pallas":
+        return _lstm_via_pallas(x, fwd, bwd, lengths)
     if bwd is None:
         xp = x @ fwd.w_ih + fwd.b  # [B, T, 4H]
         xp = jnp.transpose(xp, (1, 0, 2))[:, None]  # [T, 1, B, 4H]
@@ -99,6 +120,28 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
         return out_f
     out_b = masked_flip(jnp.transpose(hs[:, 1], (1, 0, 2)), lengths, time_axis=1)
     return jnp.concatenate([out_f, out_b], axis=-1)  # [B, T, 2H]
+
+
+def _lstm_via_pallas(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights], lengths):
+    """Dispatch to the fused Pallas kernel: stack directions (backward input
+    pre-flipped), run forward-only scans, unflip the backward outputs."""
+    from tss_dprnn_tpu.ops.pallas_lstm import lstm_scan_pallas
+
+    if bwd is None:
+        x2 = x[None]
+        w_ih = fwd.w_ih[None]
+        w_hh = fwd.w_hh[None]
+        b = fwd.b[None]
+    else:
+        x2 = jnp.stack([x, masked_flip(x, lengths, time_axis=1)])
+        w_ih = jnp.stack([fwd.w_ih, bwd.w_ih])
+        w_hh = jnp.stack([fwd.w_hh, bwd.w_hh])
+        b = jnp.stack([fwd.b, bwd.b])
+    hs = lstm_scan_pallas(x2, w_ih.astype(x.dtype), w_hh.astype(x.dtype), b)
+    if bwd is None:
+        return hs[0]
+    out_b = masked_flip(hs[1], lengths, time_axis=1)
+    return jnp.concatenate([hs[0], out_b], axis=-1)
 
 
 def vanilla_rnn(x, fwd, bwd=None, lengths=None):
