@@ -59,7 +59,16 @@ class Inferencer:
         if example_init_args is not None:
             target = model.init(jax.random.PRNGKey(0), *example_init_args)
         self.variables = load_checkpoint_variables(checkpoint_path, target)["variables"]
-        self._fwd = jax.jit(self._forward)
+        # 'xla' = parity path (default); 'pallas' = fused TPU kernel fast path
+        self.lstm_backend = config.get("lstm_backend", "xla")
+
+        def fwd(batch):
+            from tss_dprnn_tpu.ops import rnn as rnn_ops
+
+            with rnn_ops.lstm_backend(self.lstm_backend):
+                return self._forward(batch)
+
+        self._fwd = jax.jit(fwd)
 
     # -------------------------------------------------------------- forward
 

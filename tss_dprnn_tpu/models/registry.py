@@ -36,4 +36,8 @@ def build_model(model_config: Dict[str, Any]):
     if target not in MODEL_REGISTRY:
         raise ValueError(f"unknown model target {target!r}; known: {sorted(MODEL_REGISTRY)}")
     cls = MODEL_REGISTRY[target]
+    if isinstance(cfg.get("dtype"), str):  # YAML configs say e.g. dtype: bfloat16
+        import jax.numpy as jnp
+
+        cfg["dtype"] = jnp.dtype(cfg["dtype"]).type
     return cls(**cfg)

@@ -84,6 +84,9 @@ class Trainer:
     def _forward_loss(self, variables, batch, train: bool):
         """Returns (loss, batch_stats_updates, aux_dict). Overridden per mode."""
         out = self.model.apply(variables, batch["mix"])
+        if self.is_metrics:
+            loss, est = losses.pit_sisdr_loss(out, batch["sources"], return_est=True)
+            return loss, {}, {"est": est}
         loss = losses.pit_sisdr_loss(out, batch["sources"])
         return loss, {}, {}
 
@@ -153,17 +156,25 @@ class Trainer:
     # ------------------------------------------------------------------ epochs
 
     def train(self, dataloader) -> float:
+        from tss_dprnn_tpu.utils.profiling import trace
+
         self.logger.info("Set train mode...")
         num_steps = len(dataloader)
         total_loss = 0.0
+        self._metric_sums = {}
+        self._metric_cnt = 0
         start_time = time.time()
-        for step, batch in enumerate(dataloader):
-            self._ensure_state(batch)
-            sharded = shard_batch(batch, self.mesh)
-            self.state, loss, aux = self._train_step(self.state, sharded)
-            total_loss += float(loss)
-            if step % self.print_freq == 0:
-                self._log_step(step, total_loss, aux)
+        profile_dir = self.config.get("profile_dir") if self.cur_epoch == 1 else None
+        with trace(profile_dir):
+            for step, batch in enumerate(dataloader):
+                self._ensure_state(batch)
+                sharded = shard_batch(batch, self.mesh)
+                self.state, loss, aux = self._train_step(self.state, sharded)
+                total_loss += float(loss)
+                if self.is_metrics:
+                    self._accumulate_metrics(batch, aux)
+                if step % self.print_freq == 0:
+                    self._log_step(step, total_loss, aux)
         end_time = time.time()
         return self._log_epoch(total_loss, max(num_steps, 1), start_time, end_time, "train")
 
@@ -213,6 +224,25 @@ class Trainer:
 
     # ------------------------------------------------------------------- logs
 
+    def _accumulate_metrics(self, batch, aux):
+        """Working replacement for the reference's broken is_metrics path
+        (trainer.py:253-255 UnboundLocalError): accumulates per-utterance
+        host metrics over the epoch."""
+        from tss_dprnn_tpu.ops import metrics as metrics_mod
+
+        est = np.asarray(aux.get("est"))
+        if est is None:
+            return
+        target = np.asarray(batch.get("target", batch.get("sources")))
+        mix = np.asarray(batch["mix"])
+        for b in range(mix.shape[0]):
+            md = metrics_mod.get_metrics(mix[b], target[b], est[b], self.sample_rate,
+                                         ["si_sdr", "stoi"])
+            for k in ("si_sdr", "stoi"):
+                if md[k] is not None and np.isfinite(md[k]):
+                    self._metric_sums[k] = self._metric_sums.get(k, 0.0) + md[k]
+            self._metric_cnt += 1
+
     def _log_step(self, step, total_loss, aux):
         self.logger.info(
             "<epoch:%d, iter:%d, lr:%.3e, loss:%.3f>.",
@@ -224,9 +254,12 @@ class Trainer:
 
     def _log_epoch(self, total_loss, num_steps, start_time, end_time, mode_name):
         total_loss = total_loss / num_steps
+        metric_dict = None
+        if self.is_metrics and getattr(self, "_metric_cnt", 0) > 0:
+            metric_dict = {k: v / self._metric_cnt for k, v in self._metric_sums.items()}
         if self.reporter is not None:
             self.reporter.add_and_report(
-                logs={"step": self.cur_epoch, "loss": -total_loss, "metrics": None},
+                logs={"step": self.cur_epoch, "loss": -total_loss, "metrics": metric_dict},
                 mode=mode_name,
             )
         self.logger.info(

@@ -36,11 +36,12 @@ class TrainerSpe(Trainer):
     def _forward_loss(self, variables, batch, train: bool):
         est, logits, new_bs = self._model_out(variables, batch, train)
         sisdr = losses.pit_sisdr_loss(est[:, None, :], batch["target"][:, None, :])
+        extra = {"est": est} if self.is_metrics else {}
         if train:
             ce = losses.cross_entropy(logits, batch["spk_idx"])
             loss = sisdr + self.ce_gamma * ce
-            return loss, new_bs, {"l": sisdr, "ce": ce}
-        return sisdr, new_bs, {}
+            return loss, new_bs, {"l": sisdr, "ce": ce, **extra}
+        return sisdr, new_bs, extra
 
     def _log_step(self, step, total_loss, aux):
         if aux:
