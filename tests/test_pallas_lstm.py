@@ -55,3 +55,30 @@ def test_pallas_masked_lengths(rng, monkeypatch):
         got = np.asarray(rnn.lstm(x, fwd, bwd, lengths=lengths))
     for b, l in enumerate(lengths):
         np.testing.assert_allclose(got[b, :l], ref[b, :l], atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_v2_matches_scan(rng, monkeypatch):
+    import functools
+    from jax.experimental import pallas as pl
+
+    from tss_dprnn_tpu.ops import pallas_lstm as pk
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    B, T, F, H = 3, 20, 128, 128
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    fwd = _weights(rng, F, H)
+    bwd = _weights(rng, F, H)
+    ref = np.asarray(rnn.lstm(x, fwd, bwd))
+    wi = np.stack([fwd.w_ih, bwd.w_ih])
+    wh = np.stack([fwd.w_hh, bwd.w_hh])
+    b = np.stack([fwd.b, bwd.b])
+    got = np.asarray(pk.bilstm_pallas_v2(x, wi, wh, b, row_tile=8, chunk=5))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+    # pre-flipped two-buffer path with time padding
+    x2 = np.stack([x, x[:, ::-1]])
+    got2 = np.asarray(pk.lstm_scan_pallas_v2(x2, wi, wh, b, row_tile=8, chunk=7))
+    fwd_out = got2[0]
+    bwd_out = got2[1][:, ::-1]
+    np.testing.assert_allclose(
+        np.concatenate([fwd_out, bwd_out], -1), ref, atol=2e-5, rtol=2e-5
+    )

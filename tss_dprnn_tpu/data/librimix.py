@@ -85,6 +85,55 @@ class Librimix:
             return [self.seg_len] * len(self)
         return [e["length"] for e in self.entries]
 
+    @classmethod
+    def mini_from_download(cls, nrows=None, segment=3, **kwargs):
+        """MiniLibriMix train/val datasets (reference librimix.py:100-118);
+        requires network access (Zenodo)."""
+        import os
+
+        meta = _download_mini()
+
+        def csv_for(split):
+            for cand in (f"{split}/mixture_{split}_mix_clean.csv",
+                         f"mixture_{split}_mix_clean.csv"):
+                p = os.path.join(meta, cand)
+                if os.path.isfile(p):
+                    return p
+            raise FileNotFoundError(f"MiniLibriMix csv for {split} not found under {meta}")
+
+        train = cls(csv_path=csv_for("train"), sample_rate=8000, n_src=2,
+                    nrows=nrows, segment=segment)
+        val = cls(csv_path=csv_for("val"), sample_rate=8000, n_src=2,
+                  nrows=nrows, segment=segment)
+        return train, val
+
+
+MINI_URL = "https://zenodo.org/record/3871592/files/MiniLibriMix.zip?download=1"
+
+
+def _download_mini(root: str = "./MiniLibriMix") -> str:
+    """Download + unpack MiniLibriMix (reference librimix.py:120-143).
+    Returns the metadata dir. Raises a clear error in offline environments."""
+    import os
+    import urllib.request
+    import zipfile
+
+    os.makedirs(root, exist_ok=True)
+    zip_path = os.path.join(root, "MiniLibriMix.zip")
+    if not os.path.isfile(zip_path):
+        try:
+            urllib.request.urlretrieve(MINI_URL, zip_path)
+        except Exception as e:  # zero-egress environments
+            raise RuntimeError(
+                "MiniLibriMix download failed (offline?). Generate a synthetic "
+                "fixture instead: tests/fixtures.py:make_mini_librimix"
+            ) from e
+    meta = os.path.join(os.path.dirname(root) or ".", "MiniLibriMix", "metadata")
+    if not os.path.isdir(meta):
+        with zipfile.ZipFile(zip_path) as z:
+            z.extractall(os.path.dirname(root) or ".")
+    return meta
+
 
 class LibrimixSpe(Librimix):
     """TSS dataset: (mixture [T], target [T], reference [Tr], speaker_idx)

@@ -1,21 +1,26 @@
 """Fused LSTM scan as a Pallas TPU kernel — the framework's hottest op.
 
 The XLA ``lax.scan`` path (ops/rnn.py) materializes the [T, R, 4H] input
-projection in HBM and re-reads it every step; per 10-s batch that is ~10x
-more HBM traffic than the tensors themselves. This kernel instead:
+projection in HBM and re-reads it every step. This kernel instead:
 
-- keeps the LSTM state (h, c) and both weight matrices resident in VMEM
-  across the whole time loop (grid iterates (dir, row-tile, T) with T
-  innermost, so the state scratch carries across steps of one tile);
+- keeps the LSTM state (h, c) for ALL row tiles and both weight matrices
+  resident in VMEM across the whole time loop;
 - computes the input projection x_t @ W_ih *inside* the step (two MXU
-  matmuls per step), so HBM traffic is exactly: read x once, write h once;
-- accumulates gates in fp32 (``preferred_element_type``) while streaming
-  bf16/fp32 activations; the cell state stays fp32 in scratch.
+  matmuls), so HBM traffic is exactly: read x once, write h once;
+- iterates the grid time-major with (direction, row-tile) innermost, so the
+  independent tiles of one time step hide each other's recurrent-matmul
+  latency;
+- **unrolls ``U`` time steps per grid invocation** — measured on v5e, the
+  per-grid-step fixed cost (~7.6 us: DMA turnaround + dispatch) dominates a
+  single 128-wide cell update, so amortizing it across U steps is the main
+  lever (tests/ablations in round notes);
+- accumulates gates in fp32 (``preferred_element_type``); activations run in
+  the streaming dtype (bf16 in the fast path); the cell state stays fp32.
 
-Layout: the caller stacks both directions on a leading axis with the
-backward direction's input pre-flipped ((masked_)flip happens outside, so
-variable-length eval reuses the same kernel). Rows = batch*sequences, padded
-to the row-tile; F and 4H are already lane-aligned (128/512).
+The backward direction of a BiLSTM reads time-reversed input. With no length
+masking the reversal is folded into the index maps + an in-kernel reversed
+sub-step order (zero copies); with per-sequence lengths the caller pre-flips
+via ``masked_flip`` and both directions run forward.
 
 Gradients: inference-only. Training keeps the lax.scan path (identical math,
 tests/test_pallas_lstm.py asserts equality), toggled by ops.rnn's backend
@@ -38,94 +43,126 @@ def _sigmoid(x):
     return 1.0 / (1.0 + jnp.exp(-x))
 
 
-def _lstm_kernel(x_ref, wih_ref, whh_ref, b_ref, out_ref, h_scr, c_scr, *, hidden: int):
+def _lstm_kernel(x_ref, wih_ref, whh_ref, b_ref, out_ref, h_scr, c_scr, *,
+                 hidden: int, unroll: int, reverse_dir1: bool, acc_dtype):
+    """Grid (D, r_tiles, T/U) — time innermost so the per-tile state scratch
+    carries across steps. The time block holds U consecutive steps; for the
+    reversed direction (d==1, zero-copy path) the block is a contiguous chunk
+    of *forward* time consumed in reversed sub-step order. ``acc_dtype``:
+    gate accumulation dtype (bf16 on the fast path halves the VPU-visible
+    temp; the MXU still accumulates fp32 internally)."""
+    d = pl.program_id(0)
     t = pl.program_id(2)
+    H = hidden
 
     @pl.when(t == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    x_t = x_ref[0, 0, :, :]  # [rows, F]
     h = h_scr[:]
-    gates = jnp.dot(x_t, wih_ref[0], preferred_element_type=jnp.float32)
-    gates = gates + jnp.dot(
-        h.astype(x_t.dtype), whh_ref[0], preferred_element_type=jnp.float32
-    )
-    gates = gates + b_ref[0, 0].astype(jnp.float32)
-
-    H = hidden
-    # activations on the 4H-wide gates run in the streaming dtype (bf16 when
-    # the model computes in bf16 — 2x VPU throughput); the H-wide cell-state
-    # update stays fp32 (the only accumulation over time)
-    gates = gates.astype(x_t.dtype)
-    i = _sigmoid(gates[:, :H])
-    f = _sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = _sigmoid(gates[:, 3 * H :])
-    c = f.astype(jnp.float32) * c_scr[:] + (i * g).astype(jnp.float32)
-    h_new = o * jnp.tanh(c).astype(x_t.dtype)
+    c = c_scr[:]
+    for u in range(unroll):
+        if reverse_dir1:
+            u_eff = jax.lax.select(d == 0, u, unroll - 1 - u)
+        else:
+            u_eff = u
+        x_t = x_ref[0, u_eff, :, :] if unroll > 1 else x_ref[0, 0, :, :]
+        gates = jnp.dot(x_t, wih_ref[0], preferred_element_type=acc_dtype)
+        gates = gates + jnp.dot(
+            h.astype(x_t.dtype), whh_ref[0], preferred_element_type=acc_dtype
+        )
+        gates = gates + b_ref[0, 0].astype(acc_dtype)
+        # fp32 activations: measured identical VPU cost to bf16 on v5e, and
+        # they keep the fast path within ~47 dB of the fp32 XLA graph
+        i = _sigmoid(gates[:, :H])
+        f = _sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = _sigmoid(gates[:, 3 * H :])
+        c = f * c + i * g
+        h = (o * jnp.tanh(c)).astype(x_t.dtype)
+        if unroll > 1:
+            out_ref[0, u_eff, :, :] = h.astype(out_ref.dtype)
+        else:
+            out_ref[0, 0, :, :] = h.astype(out_ref.dtype)
+    h_scr[:] = h.astype(h_scr.dtype)
     c_scr[:] = c
-    h_scr[:] = h_new.astype(h_scr.dtype)
-    out_ref[0, 0, :, :] = h_new.astype(out_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("row_tile",))
-def lstm_scan_pallas(x2, w_ih2, w_hh2, b2, row_tile: int = 2048):
-    """Forward LSTM over both stacked directions.
+def _pick_unroll(T: int, unroll: int) -> int:
+    for u in (unroll, 5, 4, 2, 1):
+        if u <= unroll and T % u == 0:
+            return u
+    return 1
 
-    x2:    [D, R, T, F]  (D=1 unidirectional, 2 bidirectional; backward
-           direction pre-flipped by the caller)
-    w_ih2: [D, F, 4H]; w_hh2: [D, H, 4H]; b2: [D, 4H]
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def lstm_scan_pallas(x2, w_ih2, w_hh2, b2, row_tile: int = 1024, unroll: int = 5):
+    """Forward LSTM over stacked directions (backward pre-flipped by caller).
+
+    x2: [D, R, T, F]; w_ih2: [D, F, 4H]; w_hh2: [D, H, 4H]; b2: [D, 4H]
     returns hs [D, R, T, H] (backward direction still time-flipped).
+    Time is zero-padded up to a multiple of the unroll factor (harmless for
+    forward scans; outputs sliced back).
     """
     D, R, T, F = x2.shape
-    # kernel layout: time-major [D, T, R, F] so blocks tile the (rows, lanes)
-    # plane; the transposes fuse into the surrounding producers/consumers
-    xk = jnp.swapaxes(x2, 1, 2)
-    out = _pallas_core(xk, w_ih2, w_hh2, b2, row_tile, reverse_dir1=False)
-    return jnp.swapaxes(out, 1, 2)[:, :R]
+    u = _pick_unroll(T, unroll)
+    Tp = T
+    if u == 1 and unroll > 1:
+        # pad instead of giving up the unroll win
+        u = unroll
+        Tp = _round_up(T, u)
+    if Tp != T:
+        x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    xk = jnp.swapaxes(x2, 1, 2)  # [D, Tp, R, F]
+    out = _pallas_core(xk, w_ih2, w_hh2, b2, row_tile, u, reverse_dir1=False)
+    return jnp.swapaxes(out, 1, 2)[:, :R, :T]
 
 
-@functools.partial(jax.jit, static_argnames=("row_tile",))
-def bilstm_pallas_fused(x, w_ih2, w_hh2, b2, row_tile: int = 2048):
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def bilstm_pallas_fused(x, w_ih2, w_hh2, b2, row_tile: int = 1024, unroll: int = 5):
     """Bidirectional LSTM with the backward time-reversal folded into the
-    kernel's index maps — zero flip copies. Only valid without length
-    masking (train / fixed-shape batches).
+    kernel (zero flip copies). Only valid without length masking; requires
+    no time padding, so the unroll drops to a divisor of T.
 
     x: [R, T, F]; returns [R, T, 2H] (fwd ++ bwd, both in forward time).
     """
     R, T, F = x.shape
+    u = _pick_unroll(T, unroll)
     xk = jnp.swapaxes(x, 0, 1)[None]  # [1, T, R, F] — shared by both dirs
-    out = _pallas_core(xk, w_ih2, w_hh2, b2, row_tile, reverse_dir1=True)
-    # out: [2, T, R, H], dir 1 already written back in forward time
+    out = _pallas_core(xk, w_ih2, w_hh2, b2, row_tile, u, reverse_dir1=True)
     out = jnp.swapaxes(out, 1, 2)  # [2, R, T, H]
     return jnp.concatenate([out[0], out[1]], axis=-1)
 
 
-def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, reverse_dir1: bool):
+def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, unroll: int,
+                 reverse_dir1: bool):
     """xk: [Dx, T, R, F] (Dx==1 with reverse_dir1: both directions read the
-    same buffer, direction 1 through reversed-time index maps)."""
+    same buffer, direction 1 through reversed-time indexing)."""
     Dx, T, R, F = xk.shape
     D = w_ih2.shape[0]
     H = w_hh2.shape[1]
+    assert T % unroll == 0
     Rp = _round_up(max(R, 8), row_tile) if R > row_tile else _round_up(R, 8)
     tile = min(row_tile, Rp)
     Rp = _round_up(Rp, tile)
     if Rp != R:
         xk = jnp.pad(xk, ((0, 0), (0, 0), (0, Rp - R), (0, 0)))
-    grid = (D, Rp // tile, T)
+    r_tiles = Rp // tile
+    n_t = T // unroll
+    grid = (D, r_tiles, n_t)
+    acc_dtype = jnp.float32  # Mosaic requires 32-bit matmul accumulators
 
     if reverse_dir1:
         def x_map(d, r, t):
-            return (0, jax.lax.select(d == 0, t, T - 1 - t), r, 0)
+            return (0, jax.lax.select(d == 0, t, n_t - 1 - t), r, 0)
 
         def out_map(d, r, t):
-            return (d, jax.lax.select(d == 0, t, T - 1 - t), r, 0)
+            return (d, jax.lax.select(d == 0, t, n_t - 1 - t), r, 0)
     else:
         def x_map(d, r, t):
             return (d, t, r, 0)
@@ -133,16 +170,22 @@ def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, reverse_dir1: bool):
         def out_map(d, r, t):
             return (d, t, r, 0)
 
+    def w_map(d, r, t):
+        return (d, 0, 0)
+
     out = pl.pallas_call(
-        functools.partial(_lstm_kernel, hidden=H),
+        functools.partial(
+            _lstm_kernel, hidden=H, unroll=unroll,
+            reverse_dir1=reverse_dir1, acc_dtype=acc_dtype,
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tile, F), x_map),
-            pl.BlockSpec((1, F, 4 * H), lambda d, r, t: (d, 0, 0)),
-            pl.BlockSpec((1, H, 4 * H), lambda d, r, t: (d, 0, 0)),
-            pl.BlockSpec((1, 1, 4 * H), lambda d, r, t: (d, 0, 0)),
+            pl.BlockSpec((1, unroll, tile, F), x_map),
+            pl.BlockSpec((1, F, 4 * H), w_map),
+            pl.BlockSpec((1, H, 4 * H), w_map),
+            pl.BlockSpec((1, 1, 4 * H), w_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile, H), out_map),
+        out_specs=pl.BlockSpec((1, unroll, tile, H), out_map),
         out_shape=jax.ShapeDtypeStruct((D, T, Rp, H), xk.dtype),
         scratch_shapes=[
             pltpu.VMEM((tile, H), xk.dtype),
@@ -150,3 +193,169 @@ def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, reverse_dir1: bool):
         ],
     )(xk, w_ih2, w_hh2, b2[:, None, :])
     return out[:, :, :R] if Rp != R else out
+
+# ---------------------------------------------------------------------------
+# v2: manual double-buffered DMA pipeline.
+#
+# The BlockSpec pipeline above still pays a fixed per-grid-step cost for every
+# (time-step x tile); with 128-wide cells that overhead dominates (measured
+# ~7.6 us/step on v5e vs ~2.7 us of compute). This version makes the whole
+# time loop ONE grid step per (direction, row-tile): x streams in and h
+# streams out through explicitly double-buffered async copies in chunks of
+# ``chunk`` steps, while the recurrence runs from VMEM scratch.
+# ---------------------------------------------------------------------------
+
+
+def _lstm_manual_kernel(x_hbm, wih_ref, whh_ref, b_ref, out_hbm,
+                        xbuf, obuf, h_scr, c_scr, in_sem, out_sem, *,
+                        hidden: int, tile: int, chunk: int, n_chunks: int,
+                        r_tiles: int, reverse_dir1: bool, x_shared: bool):
+    H = hidden
+    dr = pl.program_id(0)
+    d = dr // r_tiles
+    r = dr % r_tiles
+    row0 = r * tile
+    xd = 0 if x_shared else d
+
+    def chunk_eff(tc):
+        if reverse_dir1:
+            return jax.lax.select(d == 0, tc, n_chunks - 1 - tc)
+        return tc
+
+    def in_dma(tc, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[xd, pl.ds(chunk_eff(tc) * chunk, chunk), pl.ds(row0, tile), :],
+            xbuf.at[slot],
+            in_sem.at[slot],
+        )
+
+    def out_dma(tc, slot):
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            out_hbm.at[d, pl.ds(chunk_eff(tc) * chunk, chunk), pl.ds(row0, tile), :],
+            out_sem.at[slot],
+        )
+
+    h_scr[:] = jnp.zeros((tile, H), h_scr.dtype)
+    c_scr[:] = jnp.zeros((tile, H), c_scr.dtype)
+    in_dma(0, 0).start()
+
+    def step(tc, carry):
+        h, c = carry
+        slot = jax.lax.rem(tc, 2)
+
+        @pl.when(tc + 1 < n_chunks)
+        def _():
+            in_dma(tc + 1, jax.lax.rem(tc + 1, 2)).start()
+
+        in_dma(tc, slot).wait()
+
+        @pl.when(tc >= 2)
+        def _():
+            out_dma(tc - 2, slot).wait()
+
+        for u in range(chunk):
+            if reverse_dir1:
+                u_eff = jax.lax.select(d == 0, u, chunk - 1 - u)
+            else:
+                u_eff = u
+            x_t = xbuf[slot, u_eff, :, :]
+            gates = jnp.dot(x_t, wih_ref[0], preferred_element_type=jnp.float32)
+            gates = gates + jnp.dot(
+                h.astype(x_t.dtype), whh_ref[0], preferred_element_type=jnp.float32
+            )
+            gates = gates + b_ref[0, 0].astype(jnp.float32)
+            gates = gates.astype(x_t.dtype)
+            i = _sigmoid(gates[:, :H])
+            f = _sigmoid(gates[:, H : 2 * H])
+            g = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = _sigmoid(gates[:, 3 * H :])
+            c = f.astype(jnp.float32) * c + (i * g).astype(jnp.float32)
+            h = o * jnp.tanh(c).astype(x_t.dtype)
+            obuf[slot, u_eff, :, :] = h.astype(obuf.dtype)
+
+        out_dma(tc, slot).start()
+        return h, c
+
+    h0 = h_scr[:]
+    c0 = c_scr[:]
+    h, c = jax.lax.fori_loop(0, n_chunks, step, (h0, c0))
+
+    # drain the last two output DMAs
+    @pl.when(n_chunks >= 2)
+    def _():
+        out_dma(n_chunks - 2, jax.lax.rem(n_chunks - 2, 2)).wait()
+
+    out_dma(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).wait()
+
+
+def _pallas_core_v2(xk, w_ih2, w_hh2, b2, row_tile: int, chunk: int,
+                    reverse_dir1: bool):
+    """xk: [Dx, T, R, F]; T must be a multiple of ``chunk``."""
+    Dx, T, R, F = xk.shape
+    D = w_ih2.shape[0]
+    H = w_hh2.shape[1]
+    assert T % chunk == 0
+    Rp = _round_up(max(R, 8), row_tile) if R > row_tile else _round_up(R, 8)
+    tile = min(row_tile, Rp)
+    Rp = _round_up(Rp, tile)
+    if Rp != R:
+        xk = jnp.pad(xk, ((0, 0), (0, 0), (0, Rp - R), (0, 0)))
+    r_tiles = Rp // tile
+    n_chunks = T // chunk
+
+    out = pl.pallas_call(
+        functools.partial(
+            _lstm_manual_kernel, hidden=H, tile=tile, chunk=chunk,
+            n_chunks=n_chunks, r_tiles=r_tiles, reverse_dir1=reverse_dir1,
+            x_shared=(Dx == 1 and D == 2),
+        ),
+        grid=(D * r_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec((1, F, 4 * H), lambda dr: (dr // r_tiles, 0, 0)),
+            pl.BlockSpec((1, H, 4 * H), lambda dr: (dr // r_tiles, 0, 0)),
+            pl.BlockSpec((1, 1, 4 * H), lambda dr: (dr // r_tiles, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((D, T, Rp, H), xk.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, tile, F), xk.dtype),
+            pltpu.VMEM((2, chunk, tile, H), xk.dtype),
+            pltpu.VMEM((tile, H), xk.dtype),
+            pltpu.VMEM((tile, H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(xk, w_ih2, w_hh2, b2[:, None, :])
+    return out[:, :, :R] if Rp != R else out
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "chunk"))
+def bilstm_pallas_v2(x, w_ih2, w_hh2, b2, row_tile: int = 1024, chunk: int = 10):
+    """Manual-DMA bidirectional LSTM, zero-copy reversal. x: [R, T, F] ->
+    [R, T, 2H]. Time padded to a chunk multiple is NOT allowed on the
+    zero-copy path (reversed reads would hit padding first) — the caller
+    guarantees T % chunk == 0 or picks a divisor chunk."""
+    R, T, F = x.shape
+    ch = chunk
+    while T % ch != 0:
+        ch -= 1
+    xk = jnp.swapaxes(x, 0, 1)[None]
+    out = _pallas_core_v2(xk, w_ih2, w_hh2, b2, row_tile, ch, reverse_dir1=True)
+    out = jnp.swapaxes(out, 1, 2)
+    return jnp.concatenate([out[0], out[1]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "chunk"))
+def lstm_scan_pallas_v2(x2, w_ih2, w_hh2, b2, row_tile: int = 1024, chunk: int = 10):
+    """Manual-DMA forward scan over pre-flipped stacked directions.
+    x2: [D, R, T, F] -> [D, R, T, H]; time end-padded to a chunk multiple."""
+    D, R, T, F = x2.shape
+    Tp = _round_up(T, chunk)
+    if Tp != T:
+        x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    xk = jnp.swapaxes(x2, 1, 2)
+    out = _pallas_core_v2(xk, w_ih2, w_hh2, b2, row_tile, chunk, reverse_dir1=False)
+    return jnp.swapaxes(out, 1, 2)[:, :R, :T]
