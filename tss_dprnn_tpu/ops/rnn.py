@@ -124,16 +124,15 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
 
 def _lstm_via_pallas(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights], lengths):
     """Dispatch to the fused Pallas kernel: stack directions (backward input
-    pre-flipped), run forward-only scans, unflip the backward outputs. The
-    no-lengths bidirectional case uses the zero-copy kernel whose index maps
-    read/write the backward direction in reversed time."""
-    from tss_dprnn_tpu.ops.pallas_lstm import bilstm_pallas_fused, lstm_scan_pallas
+    pre-flipped), run forward-only scans, unflip the backward outputs.
 
-    if bwd is not None and lengths is None:
-        w_ih = jnp.stack([fwd.w_ih, bwd.w_ih]).astype(x.dtype)
-        w_hh = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(x.dtype)
-        b = jnp.stack([fwd.b, bwd.b])
-        return bilstm_pallas_fused(x, w_ih, w_hh, b)
+    NB: a zero-copy variant exists (pallas_lstm.bilstm_pallas_fused) whose
+    index maps read the backward direction in reversed time from a shared
+    buffer — it verifies standalone but miscompiles when composed after
+    another Pallas call on this platform (silent corruption, see round
+    notes), so production always takes the pre-flip path."""
+    from tss_dprnn_tpu.ops.pallas_lstm import lstm_scan_pallas
+
     if bwd is None:
         x2 = x[None]
         w_ih = fwd.w_ih[None]
