@@ -3,10 +3,10 @@ scripts/train/train.py:11-27) and dataset/loader construction from config."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 from tss_dprnn_tpu.data.librimix import Librimix, LibrimixSpe
-from tss_dprnn_tpu.data.loader import TrainLoader, collate_bss, collate_spe
+from tss_dprnn_tpu.data.loader import collate_bss, collate_spe
 from tss_dprnn_tpu.utils.logging_util import get_logger
 
 MODES = ("bss", "tss_spe", "tss_rawnet")
@@ -20,6 +20,14 @@ def dataset_for(config: Dict[str, Any], split: str, spe: bool):
     cls = LibrimixSpe if spe else Librimix
     manifest_path = data.get(f"use_generated_{split}")
     if manifest_path:
+        if str(manifest_path).endswith(".pkl"):
+            # the reference's pickled Dataset artifacts load directly
+            from tss_dprnn_tpu.data.reference_compat import load_reference_pickle
+
+            manifest = load_reference_pickle(
+                manifest_path, path_prefix=data.get("path_prefix")
+            )
+            return cls(manifest=manifest)
         return cls(manifest_path=manifest_path)
     csv_path = data.get(f"{split}_path")
     if not csv_path:

@@ -27,7 +27,6 @@ import os
 import random
 from typing import Dict, List, Optional
 
-import numpy as np
 import pandas as pd
 
 

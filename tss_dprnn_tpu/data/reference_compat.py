@@ -18,8 +18,6 @@ import sys
 import types
 from typing import Optional
 
-import numpy as np
-
 
 class _ShimLibrimix:
     """Attribute bag standing in for the reference Dataset classes."""

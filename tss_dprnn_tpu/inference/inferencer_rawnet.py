@@ -5,8 +5,6 @@ identical to the Spe flavor except the reference waveform is resampled to
 
 from __future__ import annotations
 
-import numpy as np
-
 from tss_dprnn_tpu.inference.inferencer_spe import InferencerSpe
 
 

@@ -8,7 +8,7 @@ training dynamics are comparable to the reference.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

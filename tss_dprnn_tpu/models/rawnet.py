@@ -20,13 +20,8 @@ which explicitly disables AMP around the sinc front-end (RawNet3.py:77).
 
 from __future__ import annotations
 
-import math
-from typing import Any, Optional
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tss_dprnn_tpu.models.layers import BatchNorm, make_dense
 from tss_dprnn_tpu.ops import sinc as sinc_ops

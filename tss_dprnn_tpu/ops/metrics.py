@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import warnings
 from functools import lru_cache
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
