@@ -101,6 +101,11 @@ class DPRNNCore(nn.Module):
     norm_type: str = "gLN"
     activation_type: str = "sigmoid"
     dtype: Any = None
+    # rematerialize each block under grad: the 12 BiLSTM scans' saved
+    # residuals otherwise exceed HBM at the flagship size (~40 GB for a
+    # batch-5 x 3 s step); remat trades ~1 extra forward per block for
+    # peak-activation memory of a single block. Free at inference.
+    remat: bool = True
 
     @nn.compact
     def __call__(self, h, time_mask=None, chunk_lengths=None):
@@ -110,8 +115,9 @@ class DPRNNCore(nn.Module):
             h = h * time_mask  # keep the padded tail exactly zero pre-segmentation
         h = chunking.segment_cl(h, K, H)  # [B, S, K, F]
         S = h.shape[1]
+        block_cls = nn.remat(DPRNNBlock) if self.remat else DPRNNBlock
         for i in range(self.n_repeats):
-            h = DPRNNBlock(
+            h = block_cls(
                 feature_size=F,
                 hidden_size=self.hidden_size,
                 norm_type=self.norm_type,
@@ -154,6 +160,7 @@ def _core_kwargs(m):
         norm_type=m.norm_type,
         activation_type=m.activation_type,
         dtype=m.dtype,
+        remat=getattr(m, "remat", True),
     )
 
 
@@ -176,6 +183,7 @@ class DPRNN(nn.Module):
     dropout: float = 0.0  # accepted for API parity; reference passes it to a
     # 1-layer torch LSTM where it is a documented no-op (dprnn.py:23-28)
     dtype: Any = None
+    remat: bool = True
 
     def _hop(self) -> int:
         return self.hop_length if self.hop_length is not None else self.chunk_length // 2
@@ -266,6 +274,7 @@ class DPRNNTasNet(nn.Module):
     dropout: float = 0.0
     stride: Optional[int] = None
     dtype: Any = None
+    remat: bool = True
 
     def _stride(self) -> int:
         return self.stride if self.stride is not None else self.kernel_size // 2
@@ -292,6 +301,7 @@ class DPRNNTasNet(nn.Module):
             activation_type=self.activation_type,
             dropout=self.dropout,
             dtype=self.dtype,
+            remat=self.remat,
             name="separation",
         )(feats, f_lengths)  # [B, 2, L, N]
         out = masks * feats[:, None]  # [B, 2, L, N]

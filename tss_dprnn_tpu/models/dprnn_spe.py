@@ -166,6 +166,7 @@ class DPRNNSpe(nn.Module):
     kernel_size: int = 2
     fusion_type: str = "cat"
     dtype: Any = None
+    remat: bool = True
 
     def _hop(self) -> int:
         return self.hop_length if self.hop_length is not None else self.chunk_length // 2
@@ -246,6 +247,7 @@ class DPRNNSpeTasNet(nn.Module):
     num_spks: int = 251
     fusion_type: str = "cat"
     dtype: Any = None
+    remat: bool = True
 
     separation_cls = DPRNNSpe
 
@@ -279,6 +281,7 @@ class DPRNNSpeTasNet(nn.Module):
             kernel_size=self.kernel_size,
             fusion_type=self.fusion_type,
             dtype=self.dtype,
+            remat=self.remat,
             name="separation",
         )
 

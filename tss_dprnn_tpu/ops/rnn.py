@@ -74,6 +74,108 @@ def _cell_batch(h, c, gates):
     return h, c
 
 
+@jax.custom_vjp
+def _recurrence(xp, w_hh):
+    """The LSTM recurrence with a memory-lean hand-written backward.
+
+    xp: [T, D, B, 4H] precomputed input projection (+bias); w_hh: [D, H, 4H].
+    Returns hs [T, D, B, H].
+
+    jax's autodiff of ``lax.scan`` checkpoints every per-step intermediate
+    (gate activations, 4H-wide pre-activations, ...) — ~40 GB for one
+    flagship batch-5 train step, far past a v5e's HBM. This VJP saves only
+    (h, c) per step (cuDNN-style) and recomputes the gates from xp and
+    h_{t-1} inside the reverse scan.
+    """
+    hs, _ = _recurrence_fwd_scan(xp, w_hh)
+    return hs
+
+
+def _recurrence_fwd_scan(xp, w_hh):
+    D, B, H = xp.shape[1], xp.shape[2], w_hh.shape[1]
+    h0 = jnp.zeros((D, B, H), xp.dtype)
+    c0 = jnp.zeros((D, B, H), jnp.float32)
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + jax.lax.dot_general(
+            h, w_hh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(xp_t.dtype)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H : 2 * H])
+        g = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H :])
+        c = f.astype(jnp.float32) * c + (i * g).astype(jnp.float32)
+        h = (o.astype(jnp.float32) * jnp.tanh(c)).astype(xp_t.dtype)
+        return (h, c), (h, c)
+
+    (_, _), (hs, cs) = jax.lax.scan(step, (h0, c0), xp)
+    return hs, cs
+
+
+def _recurrence_vjp_fwd(xp, w_hh):
+    hs, cs = _recurrence_fwd_scan(xp, w_hh)
+    return hs, (xp, w_hh, hs, cs)
+
+
+def _recurrence_vjp_bwd(res, g_hs):
+    xp, w_hh, hs, cs = res
+    T = xp.shape[0]
+    D, B, H = hs.shape[1], hs.shape[2], hs.shape[3]
+    f32 = jnp.float32
+
+    # shifted previous-state sequences (step 0 starts from zeros)
+    h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
+
+    def step(carry, inp):
+        dh_next, dc_next, dw_hh = carry
+        xp_t, hp, cp, c_t, gh = inp
+        gates = xp_t + jax.lax.dot_general(
+            hp, w_hh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        ).astype(xp_t.dtype)
+        i = jax.nn.sigmoid(gates[..., :H]).astype(f32)
+        f = jax.nn.sigmoid(gates[..., H : 2 * H]).astype(f32)
+        g = jnp.tanh(gates[..., 2 * H : 3 * H]).astype(f32)
+        o = jax.nn.sigmoid(gates[..., 3 * H :]).astype(f32)
+        tc = jnp.tanh(c_t)
+        dh = gh.astype(f32) + dh_next
+        do = dh * tc
+        dc = dc_next + dh * o * (1.0 - tc * tc)
+        di = dc * g
+        df = dc * cp
+        dg = dc * i
+        dpre = jnp.concatenate(
+            [di * i * (1 - i), df * f * (1 - f), dg * (1 - g * g), do * o * (1 - o)],
+            axis=-1,
+        )  # [D, B, 4H] fp32
+        # dh_{t-1} = dpre @ w_hh^T
+        dh_prev = jax.lax.dot_general(
+            dpre, w_hh.astype(f32), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        dc_prev = dc * f
+        # dW_hh += h_{t-1}^T dpre
+        dw_hh = dw_hh + jax.lax.dot_general(
+            hp.astype(f32), dpre, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        return (dh_prev, dc_prev, dw_hh), dpre.astype(xp_t.dtype)
+
+    carry0 = (
+        jnp.zeros((D, B, H), f32),
+        jnp.zeros((D, B, H), f32),
+        jnp.zeros(w_hh.shape, f32),
+    )
+    (_, _, dw_hh), dxp = jax.lax.scan(
+        step, carry0, (xp, h_prev, c_prev, cs, g_hs), reverse=True
+    )
+    return dxp, dw_hh.astype(w_hh.dtype)
+
+
+_recurrence.defvjp(_recurrence_vjp_fwd, _recurrence_vjp_bwd)
+
+
 def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     """(Bi)LSTM over [B, T, F] -> [B, T, H * ndir], zero initial state.
 
@@ -100,21 +202,7 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
         w_hh = jnp.stack([fwd.w_hh, bwd.w_hh])  # [2, H, 4H]
         ndir = 2
 
-    h0 = jnp.zeros((ndir, B, H), x.dtype)
-    c0 = jnp.zeros((ndir, B, H), x.dtype)
-
-    def step(carry, xp_t):
-        h, c = carry
-        gates = xp_t + jax.lax.dot_general(
-            h,
-            w_hh.astype(h.dtype),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(h.dtype)
-        h, c = _cell_batch(h, c, gates)
-        return (h, c), h
-
-    (_, _), hs = jax.lax.scan(step, (h0, c0), xp)  # hs: [T, ndir, B, H]
+    hs = _recurrence(xp, w_hh.astype(x.dtype))  # [T, ndir, B, H]
     out_f = jnp.transpose(hs[:, 0], (1, 0, 2))  # [B, T, H]
     if ndir == 1:
         return out_f

@@ -7,7 +7,7 @@ parallelism is expressed as ``jax.sharding`` annotations over a ``Mesh``
 (XLA inserts the ICI collectives), never as per-process communication calls.
 """
 
-from tss_dprnn_tpu.parallel.mesh import make_mesh  # noqa: F401
+from tss_dprnn_tpu.parallel.mesh import initialize_distributed, make_mesh  # noqa: F401
 from tss_dprnn_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     param_shardings,

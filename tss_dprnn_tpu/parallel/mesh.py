@@ -16,6 +16,25 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host / multi-slice bring-up: one call per host before any device
+    use (``jax.distributed.initialize``). On Cloud TPU the arguments
+    auto-detect from the environment; afterwards ``jax.devices()`` spans all
+    hosts and :func:`make_mesh` lays the global mesh out with ICI inside a
+    slice and DCN across slices (jax device ordering is ICI-major). The
+    reference has no distributed path at all (SURVEY.md §2.3); this is the
+    capability-superset hook."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
