@@ -75,20 +75,28 @@ def _cell_batch(h, c, gates):
 
 
 @jax.custom_vjp
-def _recurrence(xp, w_hh):
-    """The LSTM recurrence with a memory-lean hand-written backward.
+def _recurrence(xx, w_ih, b, w_hh):
+    """The full (multi-direction) LSTM with a memory-lean hand-written
+    backward (cuDNN-style).
 
-    xp: [T, D, B, 4H] precomputed input projection (+bias); w_hh: [D, H, 4H].
+    xx: [D, B, T, F] stacked direction inputs (backward direction pre-
+    flipped); w_ih: [D, F, 4H]; b: [D, 4H]; w_hh: [D, H, 4H].
     Returns hs [T, D, B, H].
 
     jax's autodiff of ``lax.scan`` checkpoints every per-step intermediate
     (gate activations, 4H-wide pre-activations, ...) — ~40 GB for one
     flagship batch-5 train step, far past a v5e's HBM. This VJP saves only
-    (h, c) per step (cuDNN-style) and recomputes the gates from xp and
-    h_{t-1} inside the reverse scan.
+    the inputs plus (h, c) per step and recomputes the input projection and
+    gate activations in batched (non-sequential) form inside the backward.
     """
+    xp = _input_proj(xx, w_ih, b)
     hs, _ = _recurrence_fwd_scan(xp, w_hh)
     return hs
+
+
+def _input_proj(xx, w_ih, b):
+    # [D, B, T, F] @ [D, F, 4H] -> time-major [T, D, B, 4H]
+    return jnp.einsum("dbtf,dfg->tdbg", xx, w_ih) + b[None, :, None, :]
 
 
 def _recurrence_fwd_scan(xp, w_hh):
@@ -113,64 +121,77 @@ def _recurrence_fwd_scan(xp, w_hh):
     return hs, cs
 
 
-def _recurrence_vjp_fwd(xp, w_hh):
+def _recurrence_vjp_fwd(xx, w_ih, b, w_hh):
+    xp = _input_proj(xx, w_ih, b)
     hs, cs = _recurrence_fwd_scan(xp, w_hh)
-    return hs, (xp, w_hh, hs, cs)
+    # NB: xp is NOT a residual — recomputed in bwd; residual cost is the
+    # F-wide input instead of the 4H-wide projection
+    return hs, (xx, w_ih, b, w_hh, hs, cs)
 
 
 def _recurrence_vjp_bwd(res, g_hs):
-    xp, w_hh, hs, cs = res
-    T = xp.shape[0]
+    xx, w_ih, b, w_hh, hs, cs = res
+    xp = _input_proj(xx, w_ih, b)
     D, B, H = hs.shape[1], hs.shape[2], hs.shape[3]
     f32 = jnp.float32
+    cdt = xp.dtype
 
     # shifted previous-state sequences (step 0 starts from zeros)
     h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
     c_prev = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
 
-    def step(carry, inp):
-        dh_next, dc_next, dw_hh = carry
-        xp_t, hp, cp, c_t, gh = inp
-        gates = xp_t + jax.lax.dot_general(
-            hp, w_hh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
-        ).astype(xp_t.dtype)
-        i = jax.nn.sigmoid(gates[..., :H]).astype(f32)
-        f = jax.nn.sigmoid(gates[..., H : 2 * H]).astype(f32)
-        g = jnp.tanh(gates[..., 2 * H : 3 * H]).astype(f32)
-        o = jax.nn.sigmoid(gates[..., 3 * H :]).astype(f32)
-        tc = jnp.tanh(c_t)
-        dh = gh.astype(f32) + dh_next
-        do = dh * tc
-        dc = dc_next + dh * o * (1.0 - tc * tc)
-        di = dc * g
-        df = dc * cp
-        dg = dc * i
-        dpre = jnp.concatenate(
-            [di * i * (1 - i), df * f * (1 - f), dg * (1 - g * g), do * o * (1 - o)],
-            axis=-1,
-        )  # [D, B, 4H] fp32
-        # dh_{t-1} = dpre @ w_hh^T
-        dh_prev = jax.lax.dot_general(
-            dpre, w_hh.astype(f32), (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )
-        dc_prev = dc * f
-        # dW_hh += h_{t-1}^T dpre
-        dw_hh = dw_hh + jax.lax.dot_general(
-            hp.astype(f32), dpre, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )
-        return (dh_prev, dc_prev, dw_hh), dpre.astype(xp_t.dtype)
+    # recompute gate activations for ALL steps in one batched matmul +
+    # elementwise pass (transient, freed after the scan) — keeping this out
+    # of the sequential loop is what makes bwd ~2x fwd instead of ~15x
+    gates = xp + jnp.einsum("tdbh,dhg->tdbg", h_prev, w_hh).astype(cdt)
+    i = jax.nn.sigmoid(gates[..., :H])
+    f = jax.nn.sigmoid(gates[..., H : 2 * H])
+    g = jnp.tanh(gates[..., 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H :])
+    tc = jnp.tanh(cs.astype(f32)).astype(cdt)
+    # per-step factors (elementwise, vectorized over T)
+    d_i = (g * i * (1 - i)).astype(cdt)
+    d_f = (c_prev.astype(f32).astype(cdt) * f * (1 - f)).astype(cdt)
+    d_g = (i * (1 - g * g)).astype(cdt)
+    d_o = (tc * o * (1 - o)).astype(cdt)
+    dcdh = (o * (1 - tc * tc)).astype(cdt)  # ∂c-path factor of dh
+    fgate = f.astype(f32)
 
-    carry0 = (
-        jnp.zeros((D, B, H), f32),
-        jnp.zeros((D, B, H), f32),
-        jnp.zeros(w_hh.shape, f32),
+    def step(carry, inp):
+        dh_next, dc_next = carry
+        gh, d_i_t, d_f_t, d_g_t, d_o_t, dcdh_t, f_t = inp
+        dh = gh.astype(f32) + dh_next
+        dc = dc_next + dh * dcdh_t.astype(f32)
+        dpre = jnp.concatenate(
+            [
+                (dc * d_i_t.astype(f32)).astype(cdt),
+                (dc * d_f_t.astype(f32)).astype(cdt),
+                (dc * d_g_t.astype(f32)).astype(cdt),
+                (dh * d_o_t.astype(f32)).astype(cdt),
+            ],
+            axis=-1,
+        )  # [D, B, 4H]
+        dh_prev = jax.lax.dot_general(
+            dpre, w_hh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        dc_prev = dc * f_t
+        return (dh_prev, dc_prev), dpre
+
+    carry0 = (jnp.zeros((D, B, H), f32), jnp.zeros((D, B, H), f32))
+    (_, _), dxp = jax.lax.scan(
+        step, carry0, (g_hs, d_i, d_f, d_g, d_o, dcdh, fgate), reverse=True
     )
-    (_, _, dw_hh), dxp = jax.lax.scan(
-        step, carry0, (xp, h_prev, c_prev, cs, g_hs), reverse=True
+    # weight/bias/input grads in batched contractions over all steps
+    dw_hh = jnp.einsum("tdbh,tdbg->dhg", h_prev.astype(f32), dxp.astype(f32))
+    dxx = jnp.einsum("tdbg,dfg->dbtf", dxp, w_ih)
+    dw_ih = jnp.einsum("dbtf,tdbg->dfg", xx.astype(f32), dxp.astype(f32))
+    db = jnp.sum(dxp.astype(f32), axis=(0, 2))
+    return (
+        dxx.astype(xx.dtype),
+        dw_ih.astype(w_ih.dtype),
+        db.astype(b.dtype),
+        dw_hh.astype(w_hh.dtype),
     )
-    return dxp, dw_hh.astype(w_hh.dtype)
 
 
 _recurrence.defvjp(_recurrence_vjp_fwd, _recurrence_vjp_bwd)
@@ -189,20 +210,20 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     if _LSTM_BACKEND.get() == "pallas":
         return _lstm_via_pallas(x, fwd, bwd, lengths)
     if bwd is None:
-        xp = x @ fwd.w_ih + fwd.b  # [B, T, 4H]
-        xp = jnp.transpose(xp, (1, 0, 2))[:, None]  # [T, 1, B, 4H]
-        w_hh = fwd.w_hh[None]  # [1, H, 4H]
+        xx = x[None]  # [1, B, T, F]
+        w_ih = fwd.w_ih[None]
+        b = fwd.b[None]
+        w_hh = fwd.w_hh[None]
         ndir = 1
     else:
         xr = masked_flip(x, lengths, time_axis=1)
         w_ih = jnp.stack([fwd.w_ih, bwd.w_ih])  # [2, F, 4H]
         b = jnp.stack([fwd.b, bwd.b])  # [2, 4H]
         xx = jnp.stack([x, xr])  # [2, B, T, F]
-        xp = jnp.einsum("dbtf,dfg->tdbg", xx, w_ih) + b[None, :, None, :]
         w_hh = jnp.stack([fwd.w_hh, bwd.w_hh])  # [2, H, 4H]
         ndir = 2
 
-    hs = _recurrence(xp, w_hh.astype(x.dtype))  # [T, ndir, B, H]
+    hs = _recurrence(xx, w_ih.astype(x.dtype), b, w_hh.astype(x.dtype))  # [T, D, B, H]
     out_f = jnp.transpose(hs[:, 0], (1, 0, 2))  # [B, T, H]
     if ndir == 1:
         return out_f

@@ -53,6 +53,10 @@ class Trainer:
         self.base_lr = float(opt_cfg.get("lr", 1e-3))
         self.weight_decay = float(opt_cfg.get("weight_decay", 0.0))
         self.clip_norm = float(config.get("clip_norm") or 0.0)
+        # micro-batching: split each batch into accum_steps sequential
+        # micro-batches, average grads, one optimizer update — trains batch
+        # sizes whose activations exceed HBM (e.g. flagship fp32 on 16 GB)
+        self.accum_steps = int(config.get("accum_steps", 1))
 
         sched = config.get("lr_scheduler", {}) or {}
         decay_rate = sched.get("decay_rate")
@@ -127,16 +131,40 @@ class Trainer:
         self._build_steps()
 
     def _build_steps(self):
+        accum = self.accum_steps
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
-            def loss_fn(params):
+            def loss_fn(params, micro):
                 variables = {"params": params}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
-                loss, new_bs, aux = self._forward_loss(variables, batch, train=True)
+                loss, new_bs, aux = self._forward_loss(variables, micro, train=True)
                 return loss, (new_bs, aux)
 
-            (loss, (new_bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            if accum <= 1:
+                (loss, (new_bs, aux)), grads = grad_fn(state.params, batch)
+            else:
+                micros = jax.tree.map(
+                    lambda a: a.reshape((accum, a.shape[0] // accum) + a.shape[1:]), batch
+                )
+
+                import jax.numpy as jnp
+
+                def body(carry, micro):
+                    g_acc, l_acc = carry
+                    (l, (bs, aux)), g = grad_fn(state.params, micro)
+                    return (jax.tree.map(lambda a, g_: a + g_, g_acc, g), l_acc + l), (bs, aux)
+
+                zero_g = jax.tree.map(jnp.zeros_like, state.params)
+                (g_sum, l_sum), (bs_seq, aux_seq) = jax.lax.scan(
+                    body, (zero_g, 0.0), micros
+                )
+                grads = jax.tree.map(lambda g: g / accum, g_sum)
+                loss = l_sum / accum
+                new_bs = jax.tree.map(lambda a: a[-1], bs_seq)  # last micro's stats
+                aux = jax.tree.map(lambda a: a[-1], aux_seq)
             state = state.apply_gradients(grads)
             if new_bs:
                 state = state.replace(batch_stats=new_bs)
