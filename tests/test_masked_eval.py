@@ -76,3 +76,56 @@ def test_rawnet_padded_matches_exact(rng):
         l = lengths[b]
         emb_e = np.asarray(model.apply(variables, wav[b : b + 1, :l]))
         np.testing.assert_allclose(emb_p[b], emb_e[0], atol=3e-4, rtol=1e-3)
+
+
+def test_ira_padded_matches_exact(rng):
+    from tss_dprnn_tpu.models import DPRNNSpeIRATasNet
+
+    model = DPRNNSpeIRATasNet(
+        input_size=8, feature_size=12, hidden_size=10, chunk_length=40,
+        kernel_size=2, hop_length=20, n_repeats=1, norm_type="ln",
+        O=8, P=12, embeddings_size=8, num_spks=6, fusion_type="cat",
+    )
+    T_pad, Ta_pad = 1600, 1400
+    lengths = np.array([1600, 1111], np.int32)
+    aux_len = np.array([1400, 900], np.int32)
+    mix = rng.standard_normal((2, T_pad)).astype(np.float32)
+    aux = rng.standard_normal((2, Ta_pad)).astype(np.float32)
+    for b in range(2):
+        mix[b, lengths[b]:] = 0
+        aux[b, aux_len[b]:] = 0
+    variables = model.init(jax.random.PRNGKey(0), mix[:1], aux[:1], aux_len[:1].astype(np.float32))
+    wav_p, logit_p = model.apply(variables, mix, aux, aux_len, lengths=lengths)
+    for b in range(2):
+        l, la = lengths[b], aux_len[b]
+        wav_e, logit_e = model.apply(
+            variables, mix[b : b + 1, :l], aux[b : b + 1, :la], np.array([la], np.float32)
+        )
+        np.testing.assert_allclose(np.asarray(logit_p)[b], np.asarray(logit_e)[0], atol=3e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(wav_p)[b, :l], np.asarray(wav_e)[0], atol=3e-4, rtol=1e-3)
+
+
+def test_rawnet_model_padded_matches_exact(rng):
+    from tss_dprnn_tpu.models import DPRNNRawNetTasNet
+
+    model = DPRNNRawNetTasNet(
+        input_size=8, feature_size=12, hidden_size=10, chunk_length=40,
+        kernel_size=2, hop_length=20, n_repeats=1, norm_type="ln",
+        embeddings_size=8, num_spks=6, fusion_type="att",
+        rawnet_C=32, rawnet_scale=4, rawnet_sinc_stride=16,
+    )
+    T_pad, Ta_pad = 1600, 16000
+    lengths = np.array([1600, 1205], np.int32)
+    aux_len = np.array([16000, 11777], np.int32)
+    mix = rng.standard_normal((2, T_pad)).astype(np.float32)
+    aux = rng.standard_normal((2, Ta_pad)).astype(np.float32)
+    for b in range(2):
+        mix[b, lengths[b]:] = 0
+        aux[b, aux_len[b]:] = 0
+    variables = model.init(jax.random.PRNGKey(0), mix[:1], aux[:1])
+    wav_p, logit_p = model.apply(variables, mix, aux, aux_len=aux_len, lengths=lengths)
+    for b in range(2):
+        l, la = lengths[b], aux_len[b]
+        wav_e, logit_e = model.apply(variables, mix[b : b + 1, :l], aux[b : b + 1, :la])
+        np.testing.assert_allclose(np.asarray(logit_p)[b], np.asarray(logit_e)[0], atol=5e-4, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(wav_p)[b, :l], np.asarray(wav_e)[0], atol=5e-4, rtol=2e-3)
