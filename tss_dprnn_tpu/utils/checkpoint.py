@@ -63,6 +63,10 @@ def load_checkpoint_variables(path: str, target_variables=None) -> Dict[str, Any
         variables = {"params": tree["params"]}
         if tree.get("batch_stats"):
             variables["batch_stats"] = tree["batch_stats"]
+        if target_variables is not None:
+            from tss_dprnn_tpu.utils.torch_convert import validate_against
+
+            validate_against(target_variables, variables)  # hard-fail on mismatch
         return {"variables": variables, "epoch": int(tree.get("epoch", 0))}
     # torch checkpoint
     import torch
