@@ -21,7 +21,34 @@ def load_config(path: str, overrides: Optional[List[str]] = None) -> Dict[str, A
     for item in overrides or []:
         key, _, raw = item.partition("=")
         set_by_path(config, key.strip(), yaml.safe_load(raw))
+    apply_jax_settings(config)
     return config
+
+
+def apply_jax_settings(config: Dict[str, Any]) -> None:
+    """Optional top-level ``jax:`` section: persistent compilation cache and
+    platform pinning (XLA compiles of the flagship graphs take 30-120 s; the
+    cache makes repeat CLI runs start instantly).
+
+        jax:
+          compilation_cache_dir: ~/.cache/tss_dprnn_tpu_xla
+          platforms: tpu          # optional override
+    """
+    jc = config.get("jax") or {}
+    if not jc:
+        return
+    import os
+
+    import jax
+
+    cache_dir = jc.get("compilation_cache_dir")
+    if cache_dir:
+        cache_dir = os.path.expanduser(cache_dir)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jc.get("platforms"):
+        jax.config.update("jax_platforms", str(jc["platforms"]))
 
 
 def set_by_path(config: Dict[str, Any], dotted: str, value: Any) -> None:
