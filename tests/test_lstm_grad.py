@@ -92,3 +92,35 @@ def test_custom_vjp_trains_end_to_end(rng):
         upd, state = tx.update(g, state, params)
         params = optax.apply_updates(params, upd)
     assert float(loss_fn(params)) < l0
+
+
+def test_pallas_backend_grads_match_xla(rng, monkeypatch):
+    """Training with the pallas forward (interpret mode): grads must match
+    the xla-backend grads (both use the hand-written backward)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    B, T, F, H = 2, 10, 128, 128
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    tgt = rng.standard_normal((B, T, 2 * H)).astype(np.float32)
+
+    def weights(seed):
+        r = np.random.default_rng(seed)
+        return rnn.LSTMWeights(
+            (r.standard_normal((F, 4 * H)) * 0.1).astype(np.float32),
+            (r.standard_normal((H, 4 * H)) * 0.1).astype(np.float32),
+            (r.standard_normal(4 * H) * 0.05).astype(np.float32),
+        )
+
+    fwd, bwd = weights(1), weights(2)
+
+    def loss(x, fwd, bwd):
+        return jnp.sum((rnn.lstm(x, fwd, bwd) - tgt) ** 2)
+
+    g_x = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+    with rnn.lstm_backend("pallas"):
+        g_p = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+    for a, b in zip(jax.tree_util.tree_leaves(g_x), jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)

@@ -43,14 +43,20 @@ def _sigmoid(x):
     return 1.0 / (1.0 + jnp.exp(-x))
 
 
-def _lstm_kernel(x_ref, wih_ref, whh_ref, b_ref, out_ref, h_scr, c_scr, *,
-                 hidden: int, unroll: int, reverse_dir1: bool, acc_dtype):
+def _lstm_kernel(x_ref, wih_ref, whh_ref, b_ref, *rest,
+                 hidden: int, unroll: int, reverse_dir1: bool, acc_dtype,
+                 want_cs: bool):
     """Grid (D, r_tiles, T/U) — time innermost so the per-tile state scratch
     carries across steps. The time block holds U consecutive steps; for the
     reversed direction (d==1, zero-copy path) the block is a contiguous chunk
-    of *forward* time consumed in reversed sub-step order. ``acc_dtype``:
-    gate accumulation dtype (bf16 on the fast path halves the VPU-visible
-    temp; the MXU still accumulates fp32 internally)."""
+    of *forward* time consumed in reversed sub-step order. With ``want_cs``
+    the per-step cell state is a second output (consumed by the hand-written
+    training backward in ops/rnn.py)."""
+    if want_cs:
+        out_ref, cs_ref, h_scr, c_scr = rest
+    else:
+        out_ref, h_scr, c_scr = rest
+        cs_ref = None
     d = pl.program_id(0)
     t = pl.program_id(2)
     H = hidden
@@ -81,10 +87,10 @@ def _lstm_kernel(x_ref, wih_ref, whh_ref, b_ref, out_ref, h_scr, c_scr, *,
         o = _sigmoid(gates[:, 3 * H :])
         c = f * c + i * g
         h = (o * jnp.tanh(c)).astype(x_t.dtype)
-        if unroll > 1:
-            out_ref[0, u_eff, :, :] = h.astype(out_ref.dtype)
-        else:
-            out_ref[0, 0, :, :] = h.astype(out_ref.dtype)
+        u_idx = u_eff if unroll > 1 else 0
+        out_ref[0, u_idx, :, :] = h.astype(out_ref.dtype)
+        if cs_ref is not None:
+            cs_ref[0, u_idx, :, :] = c
     h_scr[:] = h.astype(h_scr.dtype)
     c_scr[:] = c
 
@@ -140,7 +146,7 @@ def bilstm_pallas_fused(x, w_ih2, w_hh2, b2, row_tile: int = 1024, unroll: int =
 
 
 def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, unroll: int,
-                 reverse_dir1: bool):
+                 reverse_dir1: bool, want_cs: bool = False):
     """xk: [Dx, T, R, F] (Dx==1 with reverse_dir1: both directions read the
     same buffer, direction 1 through reversed-time indexing)."""
     Dx, T, R, F = xk.shape
@@ -173,10 +179,15 @@ def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, unroll: int,
     def w_map(d, r, t):
         return (d, 0, 0)
 
+    out_specs = pl.BlockSpec((1, unroll, tile, H), out_map)
+    out_shape = jax.ShapeDtypeStruct((D, T, Rp, H), xk.dtype)
+    if want_cs:
+        out_specs = (out_specs, pl.BlockSpec((1, unroll, tile, H), out_map))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((D, T, Rp, H), jnp.float32))
     out = pl.pallas_call(
         functools.partial(
             _lstm_kernel, hidden=H, unroll=unroll,
-            reverse_dir1=reverse_dir1, acc_dtype=acc_dtype,
+            reverse_dir1=reverse_dir1, acc_dtype=acc_dtype, want_cs=want_cs,
         ),
         grid=grid,
         in_specs=[
@@ -185,13 +196,18 @@ def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, unroll: int,
             pl.BlockSpec((1, H, 4 * H), w_map),
             pl.BlockSpec((1, 1, 4 * H), w_map),
         ],
-        out_specs=pl.BlockSpec((1, unroll, tile, H), out_map),
-        out_shape=jax.ShapeDtypeStruct((D, T, Rp, H), xk.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tile, H), xk.dtype),
             pltpu.VMEM((tile, H), jnp.float32),
         ],
     )(xk, w_ih2, w_hh2, b2[:, None, :])
+    if want_cs:
+        hs, cs = out
+        if Rp != R:
+            hs, cs = hs[:, :, :R], cs[:, :, :R]
+        return hs, cs
     return out[:, :, :R] if Rp != R else out
 
 # ---------------------------------------------------------------------------
@@ -359,3 +375,41 @@ def lstm_scan_pallas_v2(x2, w_ih2, w_hh2, b2, row_tile: int = 1024, chunk: int =
     xk = jnp.swapaxes(x2, 1, 2)
     out = _pallas_core_v2(xk, w_ih2, w_hh2, b2, row_tile, chunk, reverse_dir1=False)
     return jnp.swapaxes(out, 1, 2)[:, :R, :T]
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def lstm_forward_with_cs(xx, w_ih, b, w_hh, row_tile: int = 1024, unroll: int = 5):
+    """Training-forward entry: xx [D, B, T, F] (backward dir pre-flipped) ->
+    (hs [T, D, B, H], cs [T, D, B, H] fp32). Used by ops/rnn._recurrence when
+    the pallas backend is active under grad."""
+    D, B, T, F = xx.shape
+    u = _pick_unroll(T, unroll)
+    Tp = T
+    if u == 1 and unroll > 1:
+        u = unroll
+        Tp = _round_up(T, u)
+    xk = jnp.swapaxes(xx, 1, 2)  # [D, T, B, F]
+    if Tp != T:
+        xk = jnp.pad(xk, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+    hs, cs = _pallas_core(xk, w_ih, w_hh, b, row_tile, u,
+                          reverse_dir1=False, want_cs=True)
+    # [D, Tp, B, H] -> [T, D, B, H]
+    hs = jnp.transpose(hs[:, :T], (1, 0, 2, 3))
+    cs = jnp.transpose(cs[:, :T], (1, 0, 2, 3))
+    return hs, cs
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def lstm_forward(xx, w_ih, b, w_hh, row_tile: int = 1024, unroll: int = 5):
+    """Inference entry: like :func:`lstm_forward_with_cs` but h only."""
+    D, B, T, F = xx.shape
+    u = _pick_unroll(T, unroll)
+    Tp = T
+    if u == 1 and unroll > 1:
+        u = unroll
+        Tp = _round_up(T, u)
+    xk = jnp.swapaxes(xx, 1, 2)
+    if Tp != T:
+        xk = jnp.pad(xk, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+    hs = _pallas_core(xk, w_ih, w_hh, b, row_tile, u, reverse_dir1=False)
+    return jnp.transpose(hs[:, :T], (1, 0, 2, 3))

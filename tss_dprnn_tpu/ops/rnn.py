@@ -31,8 +31,9 @@ import jax.numpy as jnp
 
 from tss_dprnn_tpu.ops.masking import masked_flip
 
-# 'xla' (lax.scan, differentiable, default) | 'pallas' (fused TPU kernel,
-# inference path — see ops/pallas_lstm.py)
+# 'xla' (lax.scan, default) | 'pallas' (fused TPU kernel — see
+# ops/pallas_lstm.py). Both are differentiable: the hand-written backward in
+# _recurrence consumes (hs, cs) from either forward.
 _LSTM_BACKEND: contextvars.ContextVar = contextvars.ContextVar("lstm_backend", default="xla")
 
 
@@ -89,6 +90,10 @@ def _recurrence(xx, w_ih, b, w_hh):
     the inputs plus (h, c) per step and recomputes the input projection and
     gate activations in batched (non-sequential) form inside the backward.
     """
+    if _LSTM_BACKEND.get() == "pallas":
+        from tss_dprnn_tpu.ops.pallas_lstm import lstm_forward
+
+        return lstm_forward(xx, w_ih, b, w_hh)
     xp = _input_proj(xx, w_ih, b)
     hs, _ = _recurrence_fwd_scan(xp, w_hh)
     return hs
@@ -122,8 +127,13 @@ def _recurrence_fwd_scan(xp, w_hh):
 
 
 def _recurrence_vjp_fwd(xx, w_ih, b, w_hh):
-    xp = _input_proj(xx, w_ih, b)
-    hs, cs = _recurrence_fwd_scan(xp, w_hh)
+    if _LSTM_BACKEND.get() == "pallas":
+        from tss_dprnn_tpu.ops.pallas_lstm import lstm_forward_with_cs
+
+        hs, cs = lstm_forward_with_cs(xx, w_ih, b, w_hh)
+    else:
+        xp = _input_proj(xx, w_ih, b)
+        hs, cs = _recurrence_fwd_scan(xp, w_hh)
     # NB: xp is NOT a residual — recomputed in bwd; residual cost is the
     # F-wide input instead of the 4H-wide projection
     return hs, (xx, w_ih, b, w_hh, hs, cs)
@@ -207,8 +217,6 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     """
     B, T, F = x.shape
     H = fwd.w_hh.shape[0]
-    if _LSTM_BACKEND.get() == "pallas":
-        return _lstm_via_pallas(x, fwd, bwd, lengths)
     if bwd is None:
         xx = x[None]  # [1, B, T, F]
         w_ih = fwd.w_ih[None]
@@ -229,34 +237,6 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
         return out_f
     out_b = masked_flip(jnp.transpose(hs[:, 1], (1, 0, 2)), lengths, time_axis=1)
     return jnp.concatenate([out_f, out_b], axis=-1)  # [B, T, 2H]
-
-
-def _lstm_via_pallas(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights], lengths):
-    """Dispatch to the fused Pallas kernel: stack directions (backward input
-    pre-flipped), run forward-only scans, unflip the backward outputs.
-
-    NB: a zero-copy variant exists (pallas_lstm.bilstm_pallas_fused) whose
-    index maps read the backward direction in reversed time from a shared
-    buffer — it verifies standalone but miscompiles when composed after
-    another Pallas call on this platform (silent corruption, see round
-    notes), so production always takes the pre-flip path."""
-    from tss_dprnn_tpu.ops.pallas_lstm import lstm_scan_pallas
-
-    if bwd is None:
-        x2 = x[None]
-        w_ih = fwd.w_ih[None]
-        w_hh = fwd.w_hh[None]
-        b = fwd.b[None]
-    else:
-        x2 = jnp.stack([x, masked_flip(x, lengths, time_axis=1)])
-        w_ih = jnp.stack([fwd.w_ih, bwd.w_ih])
-        w_hh = jnp.stack([fwd.w_hh, bwd.w_hh])
-        b = jnp.stack([fwd.b, bwd.b])
-    hs = lstm_scan_pallas(x2, w_ih.astype(x.dtype), w_hh.astype(x.dtype), b)
-    if bwd is None:
-        return hs[0]
-    out_b = masked_flip(hs[1], lengths, time_axis=1)
-    return jnp.concatenate([hs[0], out_b], axis=-1)
 
 
 def vanilla_rnn(x, fwd, bwd=None, lengths=None):
