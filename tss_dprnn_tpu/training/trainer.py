@@ -57,6 +57,9 @@ class Trainer:
         # micro-batches, average grads, one optimizer update — trains batch
         # sizes whose activations exceed HBM (e.g. flagship fp32 on 16 GB)
         self.accum_steps = int(config.get("accum_steps", 1))
+        # 'xla' | 'pallas' — forward-scan implementation; both differentiable
+        # (ops/rnn._recurrence hand-written backward)
+        self.lstm_backend = config.get("lstm_backend", "xla")
 
         sched = config.get("lr_scheduler", {}) or {}
         decay_rate = sched.get("decay_rate")
@@ -131,10 +134,17 @@ class Trainer:
         self._build_steps()
 
     def _build_steps(self):
+        from tss_dprnn_tpu.ops import rnn as rnn_ops
+
         accum = self.accum_steps
+        backend = self.lstm_backend
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
+            with rnn_ops.lstm_backend(backend):
+                return _train_step_body(state, batch)
+
+        def _train_step_body(state: TrainState, batch):
             def loss_fn(params, micro):
                 variables = {"params": params}
                 if state.batch_stats:
@@ -172,11 +182,12 @@ class Trainer:
 
         @jax.jit
         def eval_step(state: TrainState, batch):
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            loss, _, aux = self._forward_loss(variables, batch, train=False)
-            return loss, aux
+            with rnn_ops.lstm_backend(backend):
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                loss, _, aux = self._forward_loss(variables, batch, train=False)
+                return loss, aux
 
         self._train_step = train_step
         self._eval_step = eval_step
