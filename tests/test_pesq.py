@@ -1,0 +1,93 @@
+"""First-party PESQ (ops/pesq.py) invariants.
+
+There is no ITU oracle in this image (the ``pesq`` package is absent), so
+these tests pin the properties that hold for the real P.862 implementation:
+perfect score for identical signals, level invariance, monotonicity in
+additive-noise SNR, bounded output range, and delay robustness. When the
+``pesq`` C extension is present, an extra tolerance test compares directly.
+"""
+
+import numpy as np
+import pytest
+
+from tss_dprnn_tpu.ops.pesq import pesq
+from tss_dprnn_tpu.ops.metrics import pesq_score
+
+
+def _speech_like(fs: int = 8000, seconds: float = 4.0, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * fs)) / fs
+    env = (np.sin(2 * np.pi * 1.3 * t) ** 2) * (np.sin(2 * np.pi * 0.31 * t) > -0.3)
+    x = env * sum(
+        np.sin(2 * np.pi * f0 * t + rng.uniform(0, 6)) / k
+        for k, f0 in enumerate([220, 440, 660, 880, 1320, 1760], 1)
+    )
+    return x / np.abs(x).max() * 0.5
+
+
+def _with_snr(x: np.ndarray, snr_db: float, seed: int = 1) -> np.ndarray:
+    n = np.random.default_rng(seed).normal(size=len(x))
+    n *= np.sqrt(np.mean(x**2)) / np.sqrt(np.mean(n**2)) * 10 ** (-snr_db / 20)
+    return x + n
+
+
+def test_identical_is_ceiling():
+    x = _speech_like()
+    # ITU P.862.1 maps raw 4.5 -> 4.5486; identical signals must hit it.
+    assert pesq(8000, x, x) == pytest.approx(4.5486, abs=1e-3)
+
+
+def test_level_invariance():
+    x = _speech_like()
+    assert pesq(8000, x, 0.25 * x) == pytest.approx(pesq(8000, x, x), abs=1e-6)
+
+
+def test_monotonic_in_snr():
+    x = _speech_like()
+    scores = [pesq(8000, x, _with_snr(x, snr)) for snr in (35, 25, 15, 5)]
+    assert all(a > b for a, b in zip(scores, scores[1:]))
+    assert scores[0] > 3.7  # mild degradation stays high
+    assert scores[-1] < 2.5  # strong degradation scores low
+
+
+def test_output_range():
+    x = _speech_like()
+    rng = np.random.default_rng(2)
+    worst = pesq(8000, x, rng.normal(size=len(x)))  # unrelated noise
+    assert 1.0 <= worst <= 4.6
+    assert worst < 2.0
+
+
+def test_delay_robustness():
+    x = _speech_like()
+    delayed = np.concatenate([np.zeros(100), x[:-100]])
+    assert pesq(8000, x, delayed) > 4.0
+
+
+def test_wideband_mode():
+    x = _speech_like(fs=16000, seconds=3.0)
+    assert pesq(16000, x, x) > 4.5
+    assert pesq(16000, x, _with_snr(x, 10)) < 3.5
+    with pytest.raises(ValueError):
+        pesq(8000, x, x, mode="wb")
+
+
+def test_metrics_facade_uses_fallback():
+    x = _speech_like(seconds=2.0)
+    score = pesq_score(x, _with_snr(x, 20), 8000)
+    assert score is not None and 1.0 < score < 4.55
+
+
+@pytest.mark.skipif(
+    pytest.importorskip("importlib").util.find_spec("pesq") is None,
+    reason="ITU pesq extension absent",
+)
+def test_against_itu_binary():  # pragma: no cover - only with the C extension
+    from pesq import pesq as itu_pesq
+
+    x = _speech_like()
+    for snr in (30, 10):
+        d = _with_snr(x, snr)
+        assert pesq(8000, x, d) == pytest.approx(
+            itu_pesq(8000, x, d, "nb"), abs=0.45
+        )

@@ -10,8 +10,8 @@ Replaces ``asteroid.metrics.get_metrics(..., metrics_list=['si_sdr','stoi',
   512-pt STFT of 256-sample hann frames hop 128, 15 one-third-octave bands
   from 150 Hz, 30-frame segments, -15 dB SDR clipping) — pystoi is not in
   this image;
-- ``pesq``  — via the ``pesq`` C extension when importable, else ``None``
-  (ITU-T P.862 is out of scope to reimplement; documented limitation).
+- ``pesq``  — via the ``pesq`` C extension when importable (bit-exact ITU
+  path), else the first-party P.862-style implementation (``ops/pesq.py``).
 
 Returns ``{metric: value, 'input_' + metric: value-of-mixture}`` like
 asteroid, so the ``*_imp`` improvement columns of the reference's
@@ -145,11 +145,12 @@ def stoi(clean: np.ndarray, denoised: np.ndarray, sample_rate: int) -> float:
 
 
 def pesq_score(clean: np.ndarray, denoised: np.ndarray, sample_rate: int) -> Optional[float]:
-    if _pesq_fn is None:
-        return None
     mode = "nb" if sample_rate < 16000 else "wb"
+    fn = _pesq_fn
+    if fn is None:
+        from tss_dprnn_tpu.ops.pesq import pesq as fn
     try:
-        return float(_pesq_fn(sample_rate, np.asarray(clean), np.asarray(denoised), mode))
+        return float(fn(sample_rate, np.asarray(clean), np.asarray(denoised), mode))
     except Exception as e:  # pragma: no cover
         warnings.warn(f"pesq failed: {e}")
         return None
