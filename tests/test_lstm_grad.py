@@ -124,3 +124,32 @@ def test_pallas_backend_grads_match_xla(rng, monkeypatch):
         g_p = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
     for a, b in zip(jax.tree_util.tree_leaves(g_x), jax.tree_util.tree_leaves(g_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
+
+def test_segment_checkpointed_bwd_matches_dense(rng):
+    """lstm_save_every(q) (segment-checkpointed residuals) must reproduce the
+    dense-residual gradients, including when q does not divide T."""
+    B, T, F, H = 3, 23, 8, 6
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    tgt = rng.standard_normal((B, T, 2 * H)).astype(np.float32)
+
+    def weights(seed):
+        r = np.random.default_rng(seed)
+        return rnn.LSTMWeights(
+            (r.standard_normal((F, 4 * H)) * 0.3).astype(np.float32),
+            (r.standard_normal((H, 4 * H)) * 0.3).astype(np.float32),
+            (r.standard_normal(4 * H) * 0.1).astype(np.float32),
+        )
+
+    fwd, bwd = weights(1), weights(2)
+
+    def loss(x, fwd, bwd):
+        return jnp.sum((rnn.lstm(x, fwd, bwd) - tgt) ** 2)
+
+    v_dense, g_dense = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+    for q in (7, 23, 64):  # partial tail segment / exact / q > T
+        with rnn.lstm_save_every(q):
+            v_seg, g_seg = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+        np.testing.assert_allclose(float(v_seg), float(v_dense), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_seg), jax.tree_util.tree_leaves(g_dense)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)

@@ -36,6 +36,15 @@ from tss_dprnn_tpu.ops.masking import masked_flip
 # _recurrence consumes (hs, cs) from either forward.
 _LSTM_BACKEND: contextvars.ContextVar = contextvars.ContextVar("lstm_backend", default="xla")
 
+# Residual policy for the custom VJP: 1 (default) saves (h, c) for every step
+# — fastest backward; Q > 1 saves them only at every Q-th step and
+# re-runs each Q-step segment's forward inside the backward. Residual memory
+# drops T/Q-fold and the 4H-wide batched gate recompute shrinks to one
+# segment at a time — the flagship fp32 full-batch train step goes from a
+# 20.3 GB HBM requirement (OOM on a 16 GB v5e) to fitting, at ~1 extra
+# sequential forward of cost in the backward.
+_LSTM_SAVE_EVERY: contextvars.ContextVar = contextvars.ContextVar("lstm_save_every", default=1)
+
 
 @contextlib.contextmanager
 def lstm_backend(name: str):
@@ -44,6 +53,15 @@ def lstm_backend(name: str):
         yield
     finally:
         _LSTM_BACKEND.reset(token)
+
+
+@contextlib.contextmanager
+def lstm_save_every(q: int):
+    token = _LSTM_SAVE_EVERY.set(max(1, int(q)))
+    try:
+        yield
+    finally:
+        _LSTM_SAVE_EVERY.reset(token)
 
 
 def current_lstm_backend() -> str:
@@ -75,11 +93,18 @@ def _cell_batch(h, c, gates):
     return h, c
 
 
-@jax.custom_vjp
-def _recurrence(xx, w_ih, b, w_hh):
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _recurrence(save_every, xx, w_ih, b, w_hh):
     """The full (multi-direction) LSTM with a memory-lean hand-written
     backward (cuDNN-style).
 
+    save_every: static int residual policy (see ``lstm_save_every``) — a
+    plain argument (not the contextvar) because jax traces the backward
+    *after* the forward returns, outside any ``with`` block around the model
+    call, and the residual layout must agree between the two.
     xx: [D, B, T, F] stacked direction inputs (backward direction pre-
     flipped); w_ih: [D, F, 4H]; b: [D, 4H]; w_hh: [D, H, 4H].
     Returns hs [T, D, B, H].
@@ -87,8 +112,9 @@ def _recurrence(xx, w_ih, b, w_hh):
     jax's autodiff of ``lax.scan`` checkpoints every per-step intermediate
     (gate activations, 4H-wide pre-activations, ...) — ~40 GB for one
     flagship batch-5 train step, far past a v5e's HBM. This VJP saves only
-    the inputs plus (h, c) per step and recomputes the input projection and
-    gate activations in batched (non-sequential) form inside the backward.
+    the inputs plus (h, c) per step (or per segment, save_every > 1) and
+    recomputes the input projection and gate activations in batched
+    (non-sequential) form inside the backward.
     """
     if _LSTM_BACKEND.get() == "pallas":
         from tss_dprnn_tpu.ops.pallas_lstm import lstm_forward
@@ -104,10 +130,12 @@ def _input_proj(xx, w_ih, b):
     return jnp.einsum("dbtf,dfg->tdbg", xx, w_ih) + b[None, :, None, :]
 
 
-def _recurrence_fwd_scan(xp, w_hh):
+def _recurrence_fwd_scan(xp, w_hh, h0=None, c0=None):
     D, B, H = xp.shape[1], xp.shape[2], w_hh.shape[1]
-    h0 = jnp.zeros((D, B, H), xp.dtype)
-    c0 = jnp.zeros((D, B, H), jnp.float32)
+    if h0 is None:
+        h0 = jnp.zeros((D, B, H), xp.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((D, B, H), jnp.float32)
 
     def step(carry, xp_t):
         h, c = carry
@@ -126,7 +154,7 @@ def _recurrence_fwd_scan(xp, w_hh):
     return hs, cs
 
 
-def _recurrence_vjp_fwd(xx, w_ih, b, w_hh):
+def _recurrence_vjp_fwd(save_every, xx, w_ih, b, w_hh):
     if _LSTM_BACKEND.get() == "pallas":
         from tss_dprnn_tpu.ops.pallas_lstm import lstm_forward_with_cs
 
@@ -136,21 +164,35 @@ def _recurrence_vjp_fwd(xx, w_ih, b, w_hh):
         hs, cs = _recurrence_fwd_scan(xp, w_hh)
     # NB: xp is NOT a residual — recomputed in bwd; residual cost is the
     # F-wide input instead of the 4H-wide projection
-    return hs, (xx, w_ih, b, w_hh, hs, cs)
+    q = save_every
+    if q <= 1:
+        return hs, (xx, w_ih, b, w_hh, hs, cs)
+    # segment-checkpointed residuals: keep only the states *entering* each
+    # q-step segment (zeros for segment 0, h/c after step s*q-1 for s >= 1);
+    # the dense hs/cs become transients the compiler can free
+    import numpy as np
+
+    T = hs.shape[0]
+    idx = np.arange(q - 1, T - 1, q)
+    bh = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[idx]], axis=0)
+    bc = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[idx]], axis=0)
+    return hs, (xx, w_ih, b, w_hh, bh, bc)
 
 
-def _recurrence_vjp_bwd(res, g_hs):
-    xx, w_ih, b, w_hh, hs, cs = res
-    xp = _input_proj(xx, w_ih, b)
-    D, B, H = hs.shape[1], hs.shape[2], hs.shape[3]
+def _bwd_steps(xp, h_prev, c_prev, cs, g_hs, w_hh, dh_tail, dc_tail):
+    """Reverse-mode gradients for a contiguous run of steps.
+
+    xp [t, D, B, 4H] pre-activations (input projection incl. bias);
+    h_prev/c_prev [t, D, B, H] states entering each step; cs [t, D, B, H]
+    (fp32) states after each step; g_hs [t, D, B, H] output cotangents;
+    dh_tail/dc_tail [D, B, H] (fp32) cotangents flowing in from later steps.
+    Returns (dh_entry, dc_entry, dxp [t, D, B, 4H]).
+    """
+    H = w_hh.shape[1]
     f32 = jnp.float32
     cdt = xp.dtype
 
-    # shifted previous-state sequences (step 0 starts from zeros)
-    h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
-    c_prev = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
-
-    # recompute gate activations for ALL steps in one batched matmul +
+    # recompute gate activations for all steps in one batched matmul +
     # elementwise pass (transient, freed after the scan) — keeping this out
     # of the sequential loop is what makes bwd ~2x fwd instead of ~15x
     gates = xp + jnp.einsum("tdbh,dhg->tdbg", h_prev, w_hh).astype(cdt)
@@ -159,7 +201,7 @@ def _recurrence_vjp_bwd(res, g_hs):
     g = jnp.tanh(gates[..., 2 * H : 3 * H])
     o = jax.nn.sigmoid(gates[..., 3 * H :])
     tc = jnp.tanh(cs.astype(f32)).astype(cdt)
-    # per-step factors (elementwise, vectorized over T)
+    # per-step factors (elementwise, vectorized over t)
     d_i = (g * i * (1 - i)).astype(cdt)
     d_f = (c_prev.astype(f32).astype(cdt) * f * (1 - f)).astype(cdt)
     d_g = (i * (1 - g * g)).astype(cdt)
@@ -187,20 +229,80 @@ def _recurrence_vjp_bwd(res, g_hs):
         dc_prev = dc * f_t
         return (dh_prev, dc_prev), dpre
 
-    carry0 = (jnp.zeros((D, B, H), f32), jnp.zeros((D, B, H), f32))
-    (_, _), dxp = jax.lax.scan(
-        step, carry0, (g_hs, d_i, d_f, d_g, d_o, dcdh, fgate), reverse=True
+    (dh_e, dc_e), dxp = jax.lax.scan(
+        step, (dh_tail, dc_tail), (g_hs, d_i, d_f, d_g, d_o, dcdh, fgate), reverse=True
     )
-    # weight/bias/input grads in batched contractions over all steps
-    dw_hh = jnp.einsum("tdbh,tdbg->dhg", h_prev.astype(f32), dxp.astype(f32))
-    dxx = jnp.einsum("tdbg,dfg->dbtf", dxp, w_ih)
-    dw_ih = jnp.einsum("dbtf,tdbg->dfg", xx.astype(f32), dxp.astype(f32))
-    db = jnp.sum(dxp.astype(f32), axis=(0, 2))
+    return dh_e, dc_e, dxp
+
+
+def _recurrence_vjp_bwd(save_every, res, g_hs):
+    q = save_every
+    f32 = jnp.float32
+    if q <= 1:
+        xx, w_ih, b, w_hh, hs, cs = res
+        xp = _input_proj(xx, w_ih, b)
+        D, B, H = hs.shape[1], hs.shape[2], hs.shape[3]
+        # shifted previous-state sequences (step 0 starts from zeros)
+        h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
+        c_prev = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
+        zero = jnp.zeros((D, B, H), f32)
+        _, _, dxp = _bwd_steps(xp, h_prev, c_prev, cs, g_hs, w_hh, zero, zero)
+        # weight/bias/input grads in batched contractions over all steps
+        dw_hh = jnp.einsum("tdbh,tdbg->dhg", h_prev.astype(f32), dxp.astype(f32))
+        dxx = jnp.einsum("tdbg,dfg->dbtf", dxp, w_ih)
+        dw_ih = jnp.einsum("dbtf,tdbg->dfg", xx.astype(f32), dxp.astype(f32))
+        db = jnp.sum(dxp.astype(f32), axis=(0, 2))
+        return (
+            dxx.astype(xx.dtype),
+            dw_ih.astype(w_ih.dtype),
+            db.astype(b.dtype),
+            dw_hh.astype(w_hh.dtype),
+        )
+
+    # ---------------- segment-checkpointed backward (lstm_save_every > 1):
+    # reverse lax.scan over S = ceil(T/q) segments; each iteration re-runs the
+    # q-step forward from the saved boundary state, then runs the same
+    # batched-gate reverse core on just that segment. Peak extra memory is
+    # one segment's transients instead of the whole sequence's.
+    xx, w_ih, b, w_hh, bh, bc = res
+    D, B, T, F = xx.shape
+    H = bh.shape[-1]
+    S = bh.shape[0]
+    Tp = S * q
+    if Tp != T:  # zero-pad the tail segment (zero cotangents -> zero grads)
+        xx_p = jnp.pad(xx, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        g_p = jnp.pad(g_hs, ((0, Tp - T), (0, 0), (0, 0), (0, 0)))
+    else:
+        xx_p, g_p = xx, g_hs
+    xx_seg = jnp.transpose(xx_p.reshape(D, B, S, q, F), (2, 0, 1, 3, 4))  # [S,D,B,q,F]
+    g_seg = g_p.reshape(S, q, D, B, H)
+
+    def seg(carry, inp):
+        dh_next, dc_next = carry
+        xx_s, g_s, h_in, c_in = inp
+        xp_s = _input_proj(xx_s, w_ih, b)  # [q, D, B, 4H]
+        hs_s, cs_s = _recurrence_fwd_scan(xp_s, w_hh, h_in, c_in)
+        h_prev = jnp.concatenate([h_in[None], hs_s[:-1]], axis=0)
+        c_prev = jnp.concatenate([c_in[None], cs_s[:-1]], axis=0)
+        dh_e, dc_e, dxp_s = _bwd_steps(
+            xp_s, h_prev, c_prev, cs_s, g_s, w_hh, dh_next, dc_next
+        )
+        dwhh_s = jnp.einsum("tdbh,tdbg->dhg", h_prev.astype(f32), dxp_s.astype(f32))
+        dwih_s = jnp.einsum("dbtf,tdbg->dfg", xx_s.astype(f32), dxp_s.astype(f32))
+        db_s = jnp.sum(dxp_s.astype(f32), axis=(0, 2))
+        dxx_s = jnp.einsum("tdbg,dfg->dbtf", dxp_s, w_ih)
+        return (dh_e, dc_e), (dxx_s, dwih_s, dwhh_s, db_s)
+
+    zero = jnp.zeros((D, B, H), f32)
+    (_, _), (dxx_seg, dwih_seg, dwhh_seg, db_seg) = jax.lax.scan(
+        seg, (zero, zero), (xx_seg, g_seg, bh, bc.astype(f32)), reverse=True
+    )
+    dxx = jnp.transpose(dxx_seg, (1, 2, 0, 3, 4)).reshape(D, B, Tp, F)[:, :, :T]
     return (
         dxx.astype(xx.dtype),
-        dw_ih.astype(w_ih.dtype),
-        db.astype(b.dtype),
-        dw_hh.astype(w_hh.dtype),
+        jnp.sum(dwih_seg, axis=0).astype(w_ih.dtype),
+        jnp.sum(db_seg, axis=0).astype(b.dtype),
+        jnp.sum(dwhh_seg, axis=0).astype(w_hh.dtype),
     )
 
 
@@ -231,7 +333,9 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
         w_hh = jnp.stack([fwd.w_hh, bwd.w_hh])  # [2, H, 4H]
         ndir = 2
 
-    hs = _recurrence(xx, w_ih.astype(x.dtype), b, w_hh.astype(x.dtype))  # [T, D, B, H]
+    hs = _recurrence(
+        _LSTM_SAVE_EVERY.get(), xx, w_ih.astype(x.dtype), b, w_hh.astype(x.dtype)
+    )  # [T, D, B, H]
     out_f = jnp.transpose(hs[:, 0], (1, 0, 2))  # [B, T, H]
     if ndir == 1:
         return out_f

@@ -60,6 +60,10 @@ class Trainer:
         # 'xla' | 'pallas' — forward-scan implementation; both differentiable
         # (ops/rnn._recurrence hand-written backward)
         self.lstm_backend = config.get("lstm_backend", "xla")
+        # residual policy: 1 saves per-step (h, c); q > 1 saves every q-th
+        # step and recomputes segments in the backward (fits flagship fp32
+        # full-batch in 16 GB HBM; see ops/rnn.lstm_save_every)
+        self.lstm_save_every = int(config.get("lstm_save_every", 1))
 
         sched = config.get("lr_scheduler", {}) or {}
         decay_rate = sched.get("decay_rate")
@@ -138,10 +142,11 @@ class Trainer:
 
         accum = self.accum_steps
         backend = self.lstm_backend
+        save_every = self.lstm_save_every
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
-            with rnn_ops.lstm_backend(backend):
+            with rnn_ops.lstm_backend(backend), rnn_ops.lstm_save_every(save_every):
                 return _train_step_body(state, batch)
 
         def _train_step_body(state: TrainState, batch):
