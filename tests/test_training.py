@@ -118,3 +118,25 @@ def test_optimizer_matches_torch_adam_step():
     updates, _ = tx.update({"w": g.copy()}, opt_state, params)
     new = params["w"] + updates["w"]
     np.testing.assert_allclose(new, tw.detach().numpy(), atol=1e-6)
+
+
+def test_train_step_compiles_once(tmp_path):
+    """The whole TrainState is mesh-committed at init, so repeated steps —
+    including after a host-side lr update — hit one jit cache entry. An
+    uncommitted opt_state/lr leaf silently doubles flagship compile time
+    (~33 s recompile at step 2 on the v5e)."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=8, min_sec=1.0, max_sec=1.5)
+    ds = Librimix(csv_path=csv, segment=0.5)
+    loader = TrainLoader(ds, batch_size=8, collate_fn=collate_bss, seed=0, prefetch=0)
+    trainer = Trainer(DPRNNTasNet(**TINY), _config(tmp_path), mesh=make_mesh(data=4))
+    batch = next(iter(loader))
+    trainer._ensure_state(batch)
+    from tss_dprnn_tpu.parallel import shard_batch
+
+    sharded = shard_batch(batch, trainer.mesh)
+    state = trainer.state
+    for _ in range(2):
+        state, _, _ = trainer._train_step(state, sharded)
+    state = state.set_learning_rate(3e-4)  # epoch-boundary scheduler update
+    state, _, _ = trainer._train_step(state, sharded)
+    assert trainer._train_step._cache_size() == 1

@@ -42,7 +42,14 @@ class TrainState(flax.struct.PyTreeNode):
     def set_learning_rate(self, lr: float) -> "TrainState":
         opt_state = self.opt_state
         hp = dict(opt_state.hyperparams)
-        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        new = jnp.asarray(lr, jnp.float32)
+        old = hp.get("learning_rate")
+        # keep the scalar committed to the same sharding as its predecessor —
+        # an uncommitted replacement changes the jitted step's input aval and
+        # forces a full recompile at the next epoch's first step
+        if isinstance(old, jax.Array) and getattr(old, "sharding", None) is not None:
+            new = jax.device_put(new, old.sharding)
+        hp["learning_rate"] = new
         return self.replace(opt_state=opt_state._replace(hyperparams=hp))
 
     @property

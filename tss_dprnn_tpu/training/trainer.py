@@ -129,12 +129,14 @@ class Trainer:
                 self.cur_epoch = loaded["epoch"]
         else:
             self.logger.info("Starting new training run.")
-        # replicate over the mesh (DP) / apply TP rules when model axis > 1
-        shardings = param_shardings({"params": state.params, "batch_stats": state.batch_stats},
-                                    self.mesh)
-        placed = jax.device_put({"params": state.params, "batch_stats": state.batch_stats},
-                                shardings)
-        self.state = state.replace(params=placed["params"], batch_stats=placed["batch_stats"])
+        # Commit the WHOLE state to the mesh (params, batch_stats, opt_state,
+        # step, lr): replicated under DP, TP rules when model axis > 1 — the
+        # path regexes also match the optax mu/nu mirrors of sharded params.
+        # Leaving any leaf uncommitted makes the jitted step's second call a
+        # full retrace+recompile (input avals gain the mesh annotation only
+        # after the first donated update) — ~33 s wasted on the flagship.
+        shardings = param_shardings(state, self.mesh)
+        self.state = jax.device_put(state, shardings)
         self._build_steps()
 
     def _build_steps(self):
