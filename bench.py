@@ -25,7 +25,8 @@ def main():
 
     from __graft_entry__ import FLAGSHIP
 
-    B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 8
+    # B=32 saturates the scans' row dimension (~4% over B=8, measured)
+    B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 32
     secs = float(sys.argv[sys.argv.index("--secs") + 1]) if "--secs" in sys.argv else 10.0
     sr = 8000
     T = int(secs * sr)

@@ -153,3 +153,35 @@ def test_segment_checkpointed_bwd_matches_dense(rng):
         np.testing.assert_allclose(float(v_seg), float(v_dense), rtol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(g_seg), jax.tree_util.tree_leaves(g_dense)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_backend_grads_ragged_time(rng, monkeypatch):
+    """T not divisible by the kernel unroll exercises the end-pad+flip path
+    of lstm_backward (padded steps must flow zero carries)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    B, T, F, H = 2, 13, 128, 128
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    tgt = rng.standard_normal((B, T, 2 * H)).astype(np.float32)
+
+    def weights(seed):
+        r = np.random.default_rng(seed)
+        return rnn.LSTMWeights(
+            (r.standard_normal((F, 4 * H)) * 0.1).astype(np.float32),
+            (r.standard_normal((H, 4 * H)) * 0.1).astype(np.float32),
+            (r.standard_normal(4 * H) * 0.05).astype(np.float32),
+        )
+
+    fwd, bwd = weights(1), weights(2)
+
+    def loss(x, fwd, bwd):
+        return jnp.sum((rnn.lstm(x, fwd, bwd) - tgt) ** 2)
+
+    g_x = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+    with rnn.lstm_backend("pallas"):
+        g_p = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+    for a, b in zip(jax.tree_util.tree_leaves(g_x), jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)

@@ -413,3 +413,198 @@ def lstm_forward(xx, w_ih, b, w_hh, row_tile: int = 1024, unroll: int = 5):
         xk = jnp.pad(xk, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
     hs = _pallas_core(xk, w_ih, w_hh, b, row_tile, u, reverse_dir1=False)
     return jnp.transpose(hs[:, :T], (1, 0, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: the hand-written LSTM VJP's reverse scan, fused.
+#
+# The XLA backward (ops/rnn._bwd_steps) materializes seven [T, D, B, H]
+# per-step factor arrays in HBM before a lax.scan re-reads them, then runs
+# three more full-sequence contractions for the weight grads. This kernel
+# does the whole reverse pass in one grid sweep per (direction, row tile):
+# gates are recomputed in-kernel from x_t and h_{t-1} (two MXU matmuls),
+# dpre -> (dh_{t-1}, dx_t) are two more, and dW_ih/dW_hh/db accumulate into
+# VMEM-resident output blocks revisited across the time grid. HBM traffic is
+# exactly: read (x, h_prev, c_prev, c, g) once, write dx once.
+#
+# Time-reversal strategy: the caller pre-flips every array on the host
+# (jnp.flip is a cheap HBM copy) so the grid iterates FORWARD — reversed
+# index maps composed after another pallas call miscompile on this platform
+# (round-1 bisects; see bilstm_pallas_fused's caveat). Zero-padding to the
+# unroll multiple is applied at the original time END before the flip, so the
+# padded steps run FIRST with all-zero inputs and the (dh, dc) carries stay
+# exactly zero through them.
+# ---------------------------------------------------------------------------
+
+
+def _lstm_bwd_kernel(x_ref, hp_ref, cp_ref, cs_ref, g_ref, wih_ref, whh_ref,
+                     b_ref, dx_ref, dwih_ref, dwhh_ref, db_ref, dh_scr, dc_scr,
+                     *, hidden: int, unroll: int):
+    """Grid (D, r_tiles, n_t), t innermost over pre-flipped time. Blocks:
+    x [1,U,tile,F]; hp/cp/cs/g [1,U,tile,H] (cp/cs fp32); dx [1,U,tile,F];
+    dwih [1,1,F,4H] / dwhh [1,1,H,4H] / db [1,1,4H] accumulators (index maps
+    constant in t -> VMEM-resident, zeroed at t==0)."""
+    t = pl.program_id(2)
+    H = hidden
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dh_c = dh_scr[:]
+    dc_c = dc_scr[:]
+    dwih = dwih_ref[0, 0]
+    dwhh = dwhh_ref[0, 0]
+    db = db_ref[0, 0]
+    for u in range(unroll):
+        x_t = x_ref[0, u, :, :]
+        h_prev = hp_ref[0, u, :, :]
+        c_prev = cp_ref[0, u, :, :]  # fp32
+        c_t = cs_ref[0, u, :, :]  # fp32
+        g_t = g_ref[0, u, :, :]
+        # recompute gate activations (fp32, as the forward kernel computes)
+        gates = jnp.dot(x_t, wih_ref[0], preferred_element_type=f32)
+        gates = gates + jnp.dot(h_prev, whh_ref[0], preferred_element_type=f32)
+        gates = gates + b_ref[0, 0].astype(f32)
+        i = _sigmoid(gates[:, :H])
+        f = _sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = _sigmoid(gates[:, 3 * H :])
+        tc = jnp.tanh(c_t)
+        dh = g_t.astype(f32) + dh_c
+        dc = dc_c + dh * (o * (1.0 - tc * tc))
+        dpre = jnp.concatenate(
+            [
+                dc * (g * i * (1.0 - i)),
+                dc * (c_prev * f * (1.0 - f)),
+                dc * (i * (1.0 - g * g)),
+                dh * (tc * o * (1.0 - o)),
+            ],
+            axis=-1,
+        )  # [tile, 4H] fp32
+        dpre_s = dpre.astype(x_t.dtype)
+        # carries for the next (earlier) step
+        dh_c = jax.lax.dot_general(
+            dpre_s, whh_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+        dc_c = dc * f
+        # input grad
+        dx_ref[0, u, :, :] = jax.lax.dot_general(
+            dpre_s, wih_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=f32
+        ).astype(dx_ref.dtype)
+        # weight/bias grads (fp32 accumulation over all steps)
+        dwih = dwih + jax.lax.dot_general(
+            x_t, dpre_s, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dwhh = dwhh + jax.lax.dot_general(
+            h_prev, dpre_s, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        db = db + jnp.sum(dpre, axis=0)
+    dh_scr[:] = dh_c
+    dc_scr[:] = dc_c
+    dwih_ref[0, 0] = dwih
+    dwhh_ref[0, 0] = dwhh
+    db_ref[0, 0] = db
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def lstm_backward(xx, hs, cs, g_hs, w_ih, b, w_hh, row_tile: int = 256,
+                  unroll: int = 5):
+    """Fused reverse pass of the LSTM custom VJP (ops/rnn._recurrence).
+
+    xx [D, B, T, F] (dir-1 pre-flipped, as the forward consumed it);
+    hs / cs [T, D, B, H] forward states (cs fp32); g_hs [T, D, B, H] output
+    cotangents. Returns (dxx [D, B, T, F], dw_ih [D, F, 4H] f32,
+    db [D, 4H] f32, dw_hh [D, H, 4H] f32).
+    """
+    D, B, T, F = xx.shape
+    H = w_hh.shape[1]
+    u = _pick_unroll(T, unroll)
+    Tp = T
+    if u == 1 and unroll > 1:
+        u = unroll
+        Tp = _round_up(T, u)
+    f32 = jnp.float32
+    # previous-state sequences (zeros enter step 0), then end-pad + flip
+    h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
+
+    def prep(a):  # [T, D, B, C] -> end-padded, flipped [D, Tp, B, C]
+        a = jnp.transpose(a, (1, 0, 2, 3))  # [D, T, B, C]
+        if Tp != T:
+            a = jnp.pad(a, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+        return a[:, ::-1]
+
+    xk = jnp.swapaxes(xx, 1, 2)  # [D, T, B, F]
+    if Tp != T:
+        xk = jnp.pad(xk, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+    xk = xk[:, ::-1]
+    hp = prep(h_prev)
+    cp = prep(c_prev.astype(f32))
+    ck = prep(cs.astype(f32))
+    gk = prep(g_hs)
+
+    Rp = _round_up(max(B, 8), 8)
+    tile = min(row_tile, Rp)
+    Rp = _round_up(Rp, tile)
+    if Rp != B:
+        pad_r = ((0, 0), (0, 0), (0, Rp - B), (0, 0))
+        xk, hp, cp, ck, gk = (jnp.pad(a, pad_r) for a in (xk, hp, cp, ck, gk))
+    r_tiles = Rp // tile
+    n_t = Tp // u
+    grid = (D, r_tiles, n_t)
+
+    def s_map(d, r, t):
+        return (d, t, r, 0)
+
+    def w_map(d, r, t):
+        return (d, 0, 0)
+
+    def acc_map(d, r, t):
+        return (d, r, 0, 0)
+
+    dxk, dwih, dwhh, db = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, hidden=H, unroll=u),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, u, tile, F), s_map),
+            pl.BlockSpec((1, u, tile, H), s_map),
+            pl.BlockSpec((1, u, tile, H), s_map),
+            pl.BlockSpec((1, u, tile, H), s_map),
+            pl.BlockSpec((1, u, tile, H), s_map),
+            pl.BlockSpec((1, F, 4 * H), w_map),
+            pl.BlockSpec((1, H, 4 * H), w_map),
+            pl.BlockSpec((1, 1, 4 * H), w_map),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, u, tile, F), s_map),
+            pl.BlockSpec((1, 1, F, 4 * H), acc_map),
+            pl.BlockSpec((1, 1, H, 4 * H), acc_map),
+            pl.BlockSpec((1, 1, 1, 4 * H), lambda d, r, t: (d, r, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, Tp, Rp, F), xx.dtype),
+            jax.ShapeDtypeStruct((D, r_tiles, F, 4 * H), f32),
+            jax.ShapeDtypeStruct((D, r_tiles, H, 4 * H), f32),
+            jax.ShapeDtypeStruct((D, r_tiles, 1, 4 * H), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, H), f32),
+            pltpu.VMEM((tile, H), f32),
+        ],
+    )(xk, hp, cp, ck, gk, w_ih, w_hh, b[:, None, :])
+
+    # unflip; real steps live at the END of the flipped axis (pad was applied
+    # at the original time end, so it ran first with zero carries)
+    dxx = jnp.swapaxes(dxk[:, ::-1][:, :T, :, :][:, :, :B], 1, 2)
+    return (
+        dxx,
+        jnp.sum(dwih, axis=1),
+        jnp.sum(db, axis=(1, 2)),
+        jnp.sum(dwhh, axis=1),
+    )

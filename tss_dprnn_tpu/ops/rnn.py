@@ -240,6 +240,16 @@ def _recurrence_vjp_bwd(save_every, res, g_hs):
     f32 = jnp.float32
     if q <= 1:
         xx, w_ih, b, w_hh, hs, cs = res
+        if _LSTM_BACKEND.get() == "pallas":
+            from tss_dprnn_tpu.ops.pallas_lstm import lstm_backward
+
+            dxx, dw_ih, db, dw_hh = lstm_backward(xx, hs, cs, g_hs, w_ih, b, w_hh)
+            return (
+                dxx.astype(xx.dtype),
+                dw_ih.astype(w_ih.dtype),
+                db.astype(b.dtype),
+                dw_hh.astype(w_hh.dtype),
+            )
         xp = _input_proj(xx, w_ih, b)
         D, B, H = hs.shape[1], hs.shape[2], hs.shape[3]
         # shifted previous-state sequences (step 0 starts from zeros)
