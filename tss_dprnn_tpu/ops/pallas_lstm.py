@@ -45,18 +45,20 @@ def _sigmoid(x):
 
 def _lstm_kernel(x_ref, wih_ref, whh_ref, b_ref, *rest,
                  hidden: int, unroll: int, reverse_dir1: bool, acc_dtype,
-                 want_cs: bool):
+                 want_cs: bool, want_resid: bool = False):
     """Grid (D, r_tiles, T/U) — time innermost so the per-tile state scratch
     carries across steps. The time block holds U consecutive steps; for the
     reversed direction (d==1, zero-copy path) the block is a contiguous chunk
     of *forward* time consumed in reversed sub-step order. With ``want_cs``
     the per-step cell state is a second output (consumed by the hand-written
     training backward in ops/rnn.py)."""
-    if want_cs:
+    hp_ref = cp_ref = tc_ref = cs_ref = None
+    if want_resid:
+        out_ref, hp_ref, cp_ref, tc_ref, h_scr, c_scr = rest
+    elif want_cs:
         out_ref, cs_ref, h_scr, c_scr = rest
     else:
         out_ref, h_scr, c_scr = rest
-        cs_ref = None
     d = pl.program_id(0)
     t = pl.program_id(2)
     H = hidden
@@ -85,10 +87,18 @@ def _lstm_kernel(x_ref, wih_ref, whh_ref, b_ref, *rest,
         f = _sigmoid(gates[:, H : 2 * H])
         g = jnp.tanh(gates[:, 2 * H : 3 * H])
         o = _sigmoid(gates[:, 3 * H :])
-        c = f * c + i * g
-        h = (o * jnp.tanh(c)).astype(x_t.dtype)
         u_idx = u_eff if unroll > 1 else 0
+        if want_resid:
+            # entering states + tanh(c_t): everything the fused backward
+            # needs, aligned at t (no shifted/concatenated streams)
+            hp_ref[0, u_idx, :, :] = h.astype(hp_ref.dtype)
+            cp_ref[0, u_idx, :, :] = c.astype(cp_ref.dtype)
+        c = f * c + i * g
+        tc = jnp.tanh(c)
+        h = (o * tc).astype(x_t.dtype)
         out_ref[0, u_idx, :, :] = h.astype(out_ref.dtype)
+        if want_resid:
+            tc_ref[0, u_idx, :, :] = tc.astype(tc_ref.dtype)
         if cs_ref is not None:
             cs_ref[0, u_idx, :, :] = c
     h_scr[:] = h.astype(h_scr.dtype)
@@ -146,7 +156,8 @@ def bilstm_pallas_fused(x, w_ih2, w_hh2, b2, row_tile: int = 1024, unroll: int =
 
 
 def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, unroll: int,
-                 reverse_dir1: bool, want_cs: bool = False):
+                 reverse_dir1: bool, want_cs: bool = False,
+                 want_resid: bool = False):
     """xk: [Dx, T, R, F] (Dx==1 with reverse_dir1: both directions read the
     same buffer, direction 1 through reversed-time indexing)."""
     Dx, T, R, F = xk.shape
@@ -181,13 +192,19 @@ def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, unroll: int,
 
     out_specs = pl.BlockSpec((1, unroll, tile, H), out_map)
     out_shape = jax.ShapeDtypeStruct((D, T, Rp, H), xk.dtype)
-    if want_cs:
+    if want_resid:
+        st = pl.BlockSpec((1, unroll, tile, H), out_map)
+        out_specs = (out_specs, st, st, st)
+        sh = jax.ShapeDtypeStruct((D, T, Rp, H), xk.dtype)
+        out_shape = (out_shape, sh, sh, sh)
+    elif want_cs:
         out_specs = (out_specs, pl.BlockSpec((1, unroll, tile, H), out_map))
         out_shape = (out_shape, jax.ShapeDtypeStruct((D, T, Rp, H), jnp.float32))
     out = pl.pallas_call(
         functools.partial(
             _lstm_kernel, hidden=H, unroll=unroll,
             reverse_dir1=reverse_dir1, acc_dtype=acc_dtype, want_cs=want_cs,
+            want_resid=want_resid,
         ),
         grid=grid,
         in_specs=[
@@ -203,6 +220,11 @@ def _pallas_core(xk, w_ih2, w_hh2, b2, row_tile: int, unroll: int,
             pltpu.VMEM((tile, H), jnp.float32),
         ],
     )(xk, w_ih2, w_hh2, b2[:, None, :])
+    if want_resid:
+        # residual streams stay PADDED (kernel layout) — the backward kernel
+        # consumes them as-is; only the primal output is sliced
+        hs, hp, cp, tc = out
+        return (hs[:, :, :R] if Rp != R else hs), hp, cp, tc
     if want_cs:
         hs, cs = out
         if Rp != R:
@@ -415,35 +437,44 @@ def lstm_forward(xx, w_ih, b, w_hh, row_tile: int = 1024, unroll: int = 5):
     return jnp.transpose(hs[:, :T], (1, 0, 2, 3))
 
 
+
 # ---------------------------------------------------------------------------
-# Backward kernel: the hand-written LSTM VJP's reverse scan, fused.
+# Fused backward: the hand-written LSTM VJP's reverse pass as one kernel.
 #
 # The XLA backward (ops/rnn._bwd_steps) materializes seven [T, D, B, H]
 # per-step factor arrays in HBM before a lax.scan re-reads them, then runs
-# three more full-sequence contractions for the weight grads. This kernel
-# does the whole reverse pass in one grid sweep per (direction, row tile):
-# gates are recomputed in-kernel from x_t and h_{t-1} (two MXU matmuls),
-# dpre -> (dh_{t-1}, dx_t) are two more, and dW_ih/dW_hh/db accumulate into
-# VMEM-resident output blocks revisited across the time grid. HBM traffic is
-# exactly: read (x, h_prev, c_prev, c, g) once, write dx once.
+# three more full-sequence contractions for the weight grads. Profiling the
+# first fused version showed HALF the train step going to pure data movement
+# (host-side flips, pads, h_prev/c_prev concatenations, layout transposes) —
+# so this design eliminates it at the source:
 #
-# Time-reversal strategy: the caller pre-flips every array on the host
-# (jnp.flip is a cheap HBM copy) so the grid iterates FORWARD — reversed
-# index maps composed after another pallas call miscompile on this platform
-# (round-1 bisects; see bilstm_pallas_fused's caveat). Zero-padding to the
-# unroll multiple is applied at the original time END before the flip, so the
-# padded steps run FIRST with all-zero inputs and the (dh, dc) carries stay
-# exactly zero through them.
+# - the TRAINING FORWARD (``lstm_forward_resid``) emits, aligned at t and in
+#   kernel layout [D, Tp, Rp, H]: h_prev / c_prev (the states *entering* each
+#   step — free in-register) and tanh(c_t) (computed for h anyway). The
+#   backward therefore needs no shifted/concatenated/flipped streams at all.
+# - the backward grid walks time via a static reversed index map
+#   (t -> n_t-1-t for BOTH directions — unlike the select-based dual map of
+#   bilstm_pallas_fused, which miscompiles when composed; validated on
+#   hardware by scripts/perf/grad_check_tpu.py) with the in-block sub-step
+#   order reversed, so no jnp.flip copies exist anywhere.
+# - residual streams stay padded: the backward reuses the forward's row/time
+#   padding instead of re-padding (padded steps carry zero cotangents
+#   through: g, dh, dc are zero there, so every contribution vanishes).
+#
+# Per step: 2 MXU matmuls recompute the gates from (x_t, h_prev), one turns
+# dpre into dh_{t-1}, one into dx_t, and two accumulate dW_ih / dW_hh into
+# VMEM-resident output blocks (index maps constant in t).
 # ---------------------------------------------------------------------------
 
 
-def _lstm_bwd_kernel(x_ref, hp_ref, cp_ref, cs_ref, g_ref, wih_ref, whh_ref,
+def _lstm_bwd_kernel(x_ref, hp_ref, cp_ref, tc_ref, g_ref, wih_ref, whh_ref,
                      b_ref, dx_ref, dwih_ref, dwhh_ref, db_ref, dh_scr, dc_scr,
                      *, hidden: int, unroll: int):
-    """Grid (D, r_tiles, n_t), t innermost over pre-flipped time. Blocks:
-    x [1,U,tile,F]; hp/cp/cs/g [1,U,tile,H] (cp/cs fp32); dx [1,U,tile,F];
-    dwih [1,1,F,4H] / dwhh [1,1,H,4H] / db [1,1,4H] accumulators (index maps
-    constant in t -> VMEM-resident, zeroed at t==0)."""
+    """Grid (D, r_tiles, n_t) over REVERSED time blocks (index maps give
+    block n_t-1-t); sub-steps run u = unroll-1 .. 0. Blocks: x [1,U,tile,F];
+    hp/cp/tc/g [1,U,tile,H]; dx [1,U,tile,F]; dwih [1,1,F,4H] /
+    dwhh [1,1,H,4H] / db [1,1,1,4H] accumulators (constant index maps ->
+    VMEM-resident, zeroed at grid t==0 == last time block)."""
     t = pl.program_id(2)
     H = hidden
     f32 = jnp.float32
@@ -461,13 +492,13 @@ def _lstm_bwd_kernel(x_ref, hp_ref, cp_ref, cs_ref, g_ref, wih_ref, whh_ref,
     dwih = dwih_ref[0, 0]
     dwhh = dwhh_ref[0, 0]
     db = db_ref[0, 0]
-    for u in range(unroll):
+    for u in range(unroll - 1, -1, -1):
         x_t = x_ref[0, u, :, :]
         h_prev = hp_ref[0, u, :, :]
-        c_prev = cp_ref[0, u, :, :]  # fp32
-        c_t = cs_ref[0, u, :, :]  # fp32
+        c_prev = cp_ref[0, u, :, :]
+        tc = tc_ref[0, u, :, :].astype(f32)
         g_t = g_ref[0, u, :, :]
-        # recompute gate activations (fp32, as the forward kernel computes)
+        # recompute gate activations (fp32, as the forward computed them)
         gates = jnp.dot(x_t, wih_ref[0], preferred_element_type=f32)
         gates = gates + jnp.dot(h_prev, whh_ref[0], preferred_element_type=f32)
         gates = gates + b_ref[0, 0].astype(f32)
@@ -475,29 +506,25 @@ def _lstm_bwd_kernel(x_ref, hp_ref, cp_ref, cs_ref, g_ref, wih_ref, whh_ref,
         f = _sigmoid(gates[:, H : 2 * H])
         g = jnp.tanh(gates[:, 2 * H : 3 * H])
         o = _sigmoid(gates[:, 3 * H :])
-        tc = jnp.tanh(c_t)
         dh = g_t.astype(f32) + dh_c
         dc = dc_c + dh * (o * (1.0 - tc * tc))
         dpre = jnp.concatenate(
             [
                 dc * (g * i * (1.0 - i)),
-                dc * (c_prev * f * (1.0 - f)),
+                dc * (c_prev.astype(f32) * f * (1.0 - f)),
                 dc * (i * (1.0 - g * g)),
                 dh * (tc * o * (1.0 - o)),
             ],
             axis=-1,
         )  # [tile, 4H] fp32
         dpre_s = dpre.astype(x_t.dtype)
-        # carries for the next (earlier) step
         dh_c = jax.lax.dot_general(
             dpre_s, whh_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=f32
         )
         dc_c = dc * f
-        # input grad
         dx_ref[0, u, :, :] = jax.lax.dot_general(
             dpre_s, wih_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=f32
         ).astype(dx_ref.dtype)
-        # weight/bias grads (fp32 accumulation over all steps)
         dwih = dwih + jax.lax.dot_general(
             x_t, dpre_s, (((0,), (0,)), ((), ())), preferred_element_type=f32
         )
@@ -512,55 +539,61 @@ def _lstm_bwd_kernel(x_ref, hp_ref, cp_ref, cs_ref, g_ref, wih_ref, whh_ref,
     db_ref[0, 0] = db
 
 
-@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
-def lstm_backward(xx, hs, cs, g_hs, w_ih, b, w_hh, row_tile: int = 256,
-                  unroll: int = 5):
-    """Fused reverse pass of the LSTM custom VJP (ops/rnn._recurrence).
+_RESID_ROW_TILE = 256  # shared by fwd/bwd so padded rows line up
 
-    xx [D, B, T, F] (dir-1 pre-flipped, as the forward consumed it);
-    hs / cs [T, D, B, H] forward states (cs fp32); g_hs [T, D, B, H] output
-    cotangents. Returns (dxx [D, B, T, F], dw_ih [D, F, 4H] f32,
-    db [D, 4H] f32, dw_hh [D, H, 4H] f32).
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def lstm_forward_resid(xx, w_ih, b, w_hh, unroll: int = 5):
+    """Training-forward entry for the fused-backward path.
+
+    xx [D, B, T, F] (backward dir pre-flipped) ->
+    (hs [T, D, B, H], xk [D, Tp, Rp, F], hp/cp/tc [D, Tp, Rp, H]) where the
+    last four stay in padded kernel layout for lstm_backward to consume
+    without any re-layout.
     """
     D, B, T, F = xx.shape
-    H = w_hh.shape[1]
     u = _pick_unroll(T, unroll)
     Tp = T
     if u == 1 and unroll > 1:
         u = unroll
         Tp = _round_up(T, u)
-    f32 = jnp.float32
-    # previous-state sequences (zeros enter step 0), then end-pad + flip
-    h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
-    c_prev = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
-
-    def prep(a):  # [T, D, B, C] -> end-padded, flipped [D, Tp, B, C]
-        a = jnp.transpose(a, (1, 0, 2, 3))  # [D, T, B, C]
-        if Tp != T:
-            a = jnp.pad(a, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
-        return a[:, ::-1]
-
     xk = jnp.swapaxes(xx, 1, 2)  # [D, T, B, F]
     if Tp != T:
         xk = jnp.pad(xk, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
-    xk = xk[:, ::-1]
-    hp = prep(h_prev)
-    cp = prep(c_prev.astype(f32))
-    ck = prep(cs.astype(f32))
-    gk = prep(g_hs)
-
+    # pad rows here so the saved xk is kernel-final (avoids a second pad in
+    # _pallas_core AND any pad in the backward)
     Rp = _round_up(max(B, 8), 8)
-    tile = min(row_tile, Rp)
+    tile = min(_RESID_ROW_TILE, Rp)
     Rp = _round_up(Rp, tile)
     if Rp != B:
-        pad_r = ((0, 0), (0, 0), (0, Rp - B), (0, 0))
-        xk, hp, cp, ck, gk = (jnp.pad(a, pad_r) for a in (xk, hp, cp, ck, gk))
+        xk = jnp.pad(xk, ((0, 0), (0, 0), (0, Rp - B), (0, 0)))
+    hs, hp, cp, tc = _pallas_core(xk, w_ih, w_hh, b, tile, u,
+                                  reverse_dir1=False, want_resid=True)
+    hs = jnp.transpose(hs[:, :T, :B], (1, 0, 2, 3))  # [T, D, B, H]
+    return hs, xk, hp, cp, tc
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def lstm_backward(xk, hp, cp, tc, g_hs, w_ih, b, w_hh, unroll: int = 5):
+    """Fused reverse pass. xk/hp/cp/tc: padded kernel-layout residuals from
+    :func:`lstm_forward_resid`; g_hs [T, D, B, H] output cotangents.
+    Returns (dxx [D, B, T, F], dw_ih [D, F, 4H] f32, db [D, 4H] f32,
+    dw_hh [D, H, 4H] f32)."""
+    D, Tp, Rp, F = xk.shape
+    H = w_hh.shape[1]
+    T, B = g_hs.shape[0], g_hs.shape[2]
+    f32 = jnp.float32
+    u = _pick_unroll(Tp, unroll)
+    gk = jnp.transpose(g_hs, (1, 0, 2, 3))  # [D, T, B, H]
+    if Tp != T or Rp != B:
+        gk = jnp.pad(gk, ((0, 0), (0, Tp - T), (0, Rp - B), (0, 0)))
+    tile = min(_RESID_ROW_TILE, Rp)
     r_tiles = Rp // tile
     n_t = Tp // u
     grid = (D, r_tiles, n_t)
 
-    def s_map(d, r, t):
-        return (d, t, r, 0)
+    def s_map(d, r, t):  # static reversed traversal — no host flips
+        return (d, n_t - 1 - t, r, 0)
 
     def w_map(d, r, t):
         return (d, 0, 0)
@@ -588,7 +621,7 @@ def lstm_backward(xx, hs, cs, g_hs, w_ih, b, w_hh, row_tile: int = 256,
             pl.BlockSpec((1, 1, 1, 4 * H), lambda d, r, t: (d, r, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((D, Tp, Rp, F), xx.dtype),
+            jax.ShapeDtypeStruct((D, Tp, Rp, F), xk.dtype),
             jax.ShapeDtypeStruct((D, r_tiles, F, 4 * H), f32),
             jax.ShapeDtypeStruct((D, r_tiles, H, 4 * H), f32),
             jax.ShapeDtypeStruct((D, r_tiles, 1, 4 * H), f32),
@@ -597,11 +630,9 @@ def lstm_backward(xx, hs, cs, g_hs, w_ih, b, w_hh, row_tile: int = 256,
             pltpu.VMEM((tile, H), f32),
             pltpu.VMEM((tile, H), f32),
         ],
-    )(xk, hp, cp, ck, gk, w_ih, w_hh, b[:, None, :])
+    )(xk, hp, cp, tc, gk, w_ih, w_hh, b[:, None, :])
 
-    # unflip; real steps live at the END of the flipped axis (pad was applied
-    # at the original time end, so it ran first with zero carries)
-    dxx = jnp.swapaxes(dxk[:, ::-1][:, :T, :, :][:, :, :B], 1, 2)
+    dxx = jnp.swapaxes(dxk[:, :T, :B], 1, 2)  # [D, B, T, F]
     return (
         dxx,
         jnp.sum(dwih, axis=1),

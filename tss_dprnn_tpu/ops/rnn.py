@@ -156,6 +156,16 @@ def _recurrence_fwd_scan(xp, w_hh, h0=None, c0=None):
 
 def _recurrence_vjp_fwd(save_every, xx, w_ih, b, w_hh):
     if _LSTM_BACKEND.get() == "pallas":
+        if save_every <= 1:
+            # fused-backward path: the forward emits (h_prev, c_prev,
+            # tanh(c)) residual streams in padded kernel layout so the
+            # backward kernel runs with ZERO host-side re-layout (no flips/
+            # pads/concats — they were half the train step, see
+            # pallas_lstm.py's backward section)
+            from tss_dprnn_tpu.ops.pallas_lstm import lstm_forward_resid
+
+            hs, xk, hp, cp, tc = lstm_forward_resid(xx, w_ih, b, w_hh)
+            return hs, (xk, hp, cp, tc, w_ih, b, w_hh)
         from tss_dprnn_tpu.ops.pallas_lstm import lstm_forward_with_cs
 
         hs, cs = lstm_forward_with_cs(xx, w_ih, b, w_hh)
@@ -239,17 +249,18 @@ def _recurrence_vjp_bwd(save_every, res, g_hs):
     q = save_every
     f32 = jnp.float32
     if q <= 1:
-        xx, w_ih, b, w_hh, hs, cs = res
         if _LSTM_BACKEND.get() == "pallas":
             from tss_dprnn_tpu.ops.pallas_lstm import lstm_backward
 
-            dxx, dw_ih, db, dw_hh = lstm_backward(xx, hs, cs, g_hs, w_ih, b, w_hh)
+            xk, hp, cp, tc, w_ih, b, w_hh = res
+            dxx, dw_ih, db, dw_hh = lstm_backward(xk, hp, cp, tc, g_hs, w_ih, b, w_hh)
             return (
-                dxx.astype(xx.dtype),
+                dxx.astype(xk.dtype),
                 dw_ih.astype(w_ih.dtype),
                 db.astype(b.dtype),
                 dw_hh.astype(w_hh.dtype),
             )
+        xx, w_ih, b, w_hh, hs, cs = res
         xp = _input_proj(xx, w_ih, b)
         D, B, H = hs.shape[1], hs.shape[2], hs.shape[3]
         # shifted previous-state sequences (step 0 starts from zeros)
