@@ -28,7 +28,8 @@ config = {"optimizer": {"lr": 5e-4, "weight_decay": 1e-5},
           "clip_norm": 5, "ce_gamma": 0.5, "accum_steps": 1, "lstm_save_every": 1,
           "new_checkpoints_path": "/tmp/perf_chkpts", "data": {"sample_rate": 8000},
           "lstm_backend": "pallas" if "pallas" in sys.argv else "xla"}
-model = DPRNNSpeTasNet(**FLAGSHIP, dtype=jnp.bfloat16 if bf16 else None)
+model = DPRNNSpeTasNet(**FLAGSHIP, dtype=jnp.bfloat16 if bf16 else None,
+                       remat="noremat" not in sys.argv)
 tr = TrainerSpe(model, config)
 tr._ensure_state(batch)
 from tss_dprnn_tpu.parallel import shard_batch
