@@ -639,3 +639,397 @@ def lstm_backward(xk, hp, cp, tc, g_hs, w_ih, b, w_hh, unroll: int = 5):
         jnp.sum(db, axis=(1, 2)),
         jnp.sum(dwhh, axis=1),
     )
+
+
+# ---------------------------------------------------------------------------
+# No-stack bidirectional kernels ("bilstm2"): both directions in ONE grid
+# step. Dir-0 consumes forward-time block t; dir-1 consumes the mirrored
+# block n_t-1-t through a STATIC index map (the select-based dual map of
+# bilstm_pallas_fused miscompiles; the static mirrored form is the same
+# class lstm_backward uses, validated on hardware by
+# scripts/perf/grad_check_tpu.py). Consequences:
+#
+# - the [2, B, T, F] stacked input, its dir-1 time flip, and the dir-1
+#   OUTPUT flip all disappear (profiled at ~200 ms of a 1.6 s B=32x10s
+#   inference call) — dir-1's output lands in forward time by construction;
+# - valid only for lengths=None (full-T reversal); lstm() dispatches the
+#   masked path to the stacked pre-flip kernels;
+# - time padding (to the unroll multiple) sits at the forward END, which is
+#   the START of dir-1's scan: the kernel masks dir-1's state updates on the
+#   pad sub-steps (static sub-index x traced block-index predicate) so zeros
+#   enter its real steps, and the backward masks the mirrored tail the same
+#   way.
+# ---------------------------------------------------------------------------
+
+
+def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
+                    hidden: int, unroll: int, n_t: int, pad: int,
+                    want_resid: bool):
+    """Grid (r_tiles, n_t). x0/x1: (u, tile, F) blocks of the SAME array at
+    block t and n_t-1-t. Outputs per dir: h [Tp, Rp, H] (+ resid streams
+    hp/cp/tc per dir when want_resid). Dir-1 sub-steps run mirrored, so its
+    output block at forward position j holds its scan step for time j."""
+    if want_resid:
+        (o0_ref, o1_ref, hp0_ref, cp0_ref, tc0_ref,
+         hp1_ref, cp1_ref, tc1_ref, h0s, c0s, h1s, c1s) = rest
+    else:
+        o0_ref, o1_ref, h0s, c0s, h1s, c1s = rest
+        hp0_ref = None
+    t = pl.program_id(1)
+    H = hidden
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        h0s[:] = jnp.zeros_like(h0s)
+        c0s[:] = jnp.zeros_like(c0s)
+        h1s[:] = jnp.zeros_like(h1s)
+        c1s[:] = jnp.zeros_like(c1s)
+
+    h0 = h0s[:]
+    c0 = c0s[:]
+    h1 = h1s[:]
+    c1 = c1s[:]
+    for u in range(unroll):
+        # ---- dir 0: forward time, ascending sub-steps
+        x_t = x0_ref[u, :, :]
+        g = jnp.dot(x_t, wih_ref[0], preferred_element_type=f32)
+        g = g + jnp.dot(h0.astype(x_t.dtype), whh_ref[0], preferred_element_type=f32)
+        g = g + b_ref[0, 0].astype(f32)
+        i = _sigmoid(g[:, :H])
+        f = _sigmoid(g[:, H : 2 * H])
+        gg = jnp.tanh(g[:, 2 * H : 3 * H])
+        o = _sigmoid(g[:, 3 * H :])
+        if want_resid:
+            hp0_ref[u, :, :] = h0.astype(hp0_ref.dtype)
+            cp0_ref[u, :, :] = c0.astype(cp0_ref.dtype)
+        c0 = f * c0 + i * gg
+        tc = jnp.tanh(c0)
+        h0 = (o * tc).astype(x_t.dtype)
+        o0_ref[u, :, :] = h0.astype(o0_ref.dtype)
+        if want_resid:
+            tc0_ref[u, :, :] = tc.astype(tc0_ref.dtype)
+
+        # ---- dir 1: mirrored block, descending sub-steps
+        u1 = unroll - 1 - u
+        x_t = x1_ref[u1, :, :]
+        g = jnp.dot(x_t, wih_ref[1], preferred_element_type=f32)
+        g = g + jnp.dot(h1.astype(x_t.dtype), whh_ref[1], preferred_element_type=f32)
+        g = g + b_ref[1, 0].astype(f32)
+        i = _sigmoid(g[:, :H])
+        f = _sigmoid(g[:, H : 2 * H])
+        gg = jnp.tanh(g[:, 2 * H : 3 * H])
+        o = _sigmoid(g[:, 3 * H :])
+        if pad and u1 >= unroll - pad:
+            # forward-END padding = the START of dir-1's scan: only block
+            # t==0 touches it; hold the state there so zeros enter the
+            # first real step
+            valid = t > 0
+        else:
+            valid = None
+        if want_resid:
+            hp1_ref[u1, :, :] = h1.astype(hp1_ref.dtype)
+            cp1_ref[u1, :, :] = c1.astype(cp1_ref.dtype)
+        c1_new = f * c1 + i * gg
+        tc = jnp.tanh(c1_new)
+        h1_new = (o * tc).astype(x_t.dtype)
+        if valid is not None:
+            c1 = jnp.where(valid, c1_new, c1)
+            h1 = jnp.where(valid, h1_new, h1)
+        else:
+            c1 = c1_new
+            h1 = h1_new
+        o1_ref[u1, :, :] = h1.astype(o1_ref.dtype)
+        if want_resid:
+            tc1_ref[u1, :, :] = tc.astype(tc1_ref.dtype)
+    h0s[:] = h0
+    c0s[:] = c0
+    h1s[:] = h1
+    c1s[:] = c1
+
+
+def _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
+                  want_resid: bool):
+    """x [B, T, F] -> (o0, o1) [Tp, Rp, H] (+ xk and 6 resid streams when
+    want_resid). o1 is already in forward time."""
+    B, T, F = x.shape
+    H = w_hh2.shape[1]
+    u = _pick_unroll(T, unroll)
+    Tp = T
+    if u == 1 and unroll > 1:
+        u = unroll
+        Tp = _round_up(T, u)
+    pad = Tp - T
+    xk = jnp.swapaxes(x, 0, 1)  # [T, B, F]
+    if pad:
+        xk = jnp.pad(xk, ((0, pad), (0, 0), (0, 0)))
+    Rp = _round_up(max(B, 8), 8)
+    tile = min(row_tile, Rp)
+    Rp = _round_up(Rp, tile)
+    if Rp != B:
+        xk = jnp.pad(xk, ((0, 0), (0, Rp - B), (0, 0)))
+    r_tiles = Rp // tile
+    n_t = Tp // u
+    grid = (r_tiles, n_t)
+
+    def fmap(r, t):  # forward-time block
+        return (t, r, 0)
+
+    def mmap(r, t):  # mirrored block (static)
+        return (n_t - 1 - t, r, 0)
+
+    def wmap(r, t):
+        return (0, 0, 0)
+
+    sblk = pl.BlockSpec((u, tile, H), fmap)
+    sblk_m = pl.BlockSpec((u, tile, H), mmap)
+    sshape = jax.ShapeDtypeStruct((Tp, Rp, H), xk.dtype)
+    out_specs = [sblk, sblk_m]
+    out_shape = [sshape, sshape]
+    if want_resid:
+        out_specs += [sblk, sblk, sblk, sblk_m, sblk_m, sblk_m]
+        out_shape += [sshape] * 6
+    scratch = [pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), jnp.float32),
+               pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(_bilstm2_kernel, hidden=H, unroll=u, n_t=n_t,
+                          pad=pad, want_resid=want_resid),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((u, tile, F), fmap),
+            pl.BlockSpec((u, tile, F), mmap),
+            pl.BlockSpec((2, F, 4 * H), wmap),
+            pl.BlockSpec((2, H, 4 * H), wmap),
+            pl.BlockSpec((2, 1, 4 * H), wmap),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+    )(xk, xk, w_ih2, w_hh2, b2[:, None, :])
+    if want_resid:
+        return (*out, xk)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def bilstm2_forward(x, w_ih2, b2, w_hh2, row_tile: int = 512, unroll: int = 5):
+    # row_tile 512 (not the single-direction kernels' 1024): this kernel
+    # streams both directions' x and out blocks at once — 1024-row tiles
+    # exceed the 16 MB scoped-VMEM limit (measured 17.1 MB bf16)
+    """Inference: x [B, T, F] -> (out0, out1) each [B, T, H], BOTH in forward
+    time (no input stack/flip, no output flip)."""
+    B, T, _ = x.shape
+    o0, o1 = _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile, unroll, False)
+    return (jnp.swapaxes(o0[:T, :B], 0, 1), jnp.swapaxes(o1[:T, :B], 0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bilstm2_forward_resid(x, w_ih2, b2, w_hh2):
+    """Training forward: also returns the padded kernel-layout residuals."""
+    B, T, _ = x.shape
+    o0, o1, hp0, cp0, tc0, hp1, cp1, tc1, xk = _bilstm2_core(
+        x, w_ih2, b2, w_hh2, _RESID_ROW_TILE, 5, True)
+    outs = (jnp.swapaxes(o0[:T, :B], 0, 1), jnp.swapaxes(o1[:T, :B], 0, 1))
+    return outs, (xk, hp0, cp0, tc0, hp1, cp1, tc1)
+
+
+def _bilstm2_bwd_kernel(x0_ref, x1_ref, hp0_ref, cp0_ref, tc0_ref, g0_ref,
+                        hp1_ref, cp1_ref, tc1_ref, g1_ref, wih_ref, whh_ref,
+                        b_ref, dx0_ref, dx1_ref, dwih0_ref, dwhh0_ref, db0_ref,
+                        dwih1_ref, dwhh1_ref, db1_ref,
+                        dh0s, dc0s, dh1s, dc1s, *, hidden: int, unroll: int,
+                        n_t: int, pad: int):
+    """Reverse pass of _bilstm2_kernel. Dir-0 walks mirrored blocks
+    (n_t-1-t, sub-steps descending); dir-1 walks forward blocks (t,
+    sub-steps ascending = reverse of its scan). Dir-1's pad tail (last
+    block's high sub-steps) is where-masked to zero contributions."""
+    t = pl.program_id(1)
+    H = hidden
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        dh0s[:] = jnp.zeros_like(dh0s)
+        dc0s[:] = jnp.zeros_like(dc0s)
+        dh1s[:] = jnp.zeros_like(dh1s)
+        dc1s[:] = jnp.zeros_like(dc1s)
+        dwih0_ref[:] = jnp.zeros_like(dwih0_ref)
+        dwhh0_ref[:] = jnp.zeros_like(dwhh0_ref)
+        db0_ref[:] = jnp.zeros_like(db0_ref)
+        dwih1_ref[:] = jnp.zeros_like(dwih1_ref)
+        dwhh1_ref[:] = jnp.zeros_like(dwhh1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+
+    def one_dir(x_ref, hp_ref, cp_ref, tc_ref, g_ref, dx_ref, w_i, w_h, bias,
+                dh_c, dc_c, dwih, dwhh, db, sub_steps, mask_fn):
+        for u in sub_steps:
+            x_t = x_ref[u, :, :]
+            h_prev = hp_ref[u, :, :]
+            c_prev = cp_ref[u, :, :]
+            tc = tc_ref[u, :, :].astype(f32)
+            g_t = g_ref[u, :, :]
+            gates = jnp.dot(x_t, w_i, preferred_element_type=f32)
+            gates = gates + jnp.dot(h_prev, w_h, preferred_element_type=f32)
+            gates = gates + bias.astype(f32)
+            i = _sigmoid(gates[:, :H])
+            f = _sigmoid(gates[:, H : 2 * H])
+            g = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = _sigmoid(gates[:, 3 * H :])
+            dh = g_t.astype(f32) + dh_c
+            dc = dc_c + dh * (o * (1.0 - tc * tc))
+            dpre = jnp.concatenate(
+                [
+                    dc * (g * i * (1.0 - i)),
+                    dc * (c_prev.astype(f32) * f * (1.0 - f)),
+                    dc * (i * (1.0 - g * g)),
+                    dh * (tc * o * (1.0 - o)),
+                ],
+                axis=-1,
+            )
+            m = mask_fn(u)
+            if m is not None:
+                dpre = jnp.where(m, dpre, 0.0)
+            dpre_s = dpre.astype(x_t.dtype)
+            dh_new = jax.lax.dot_general(
+                dpre_s, w_h, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+            dc_new = dc * f
+            if m is not None:
+                dh_c = jnp.where(m, dh_new, dh_c)
+                dc_c = jnp.where(m, dc_new, dc_c)
+            else:
+                dh_c = dh_new
+                dc_c = dc_new
+            dx_ref[u, :, :] = jax.lax.dot_general(
+                dpre_s, w_i, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ).astype(dx_ref.dtype)
+            dwih = dwih + jax.lax.dot_general(
+                x_t, dpre_s, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            dwhh = dwhh + jax.lax.dot_general(
+                h_prev, dpre_s, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            db = db + jnp.sum(dpre, axis=0)
+        return dh_c, dc_c, dwih, dwhh, db
+
+    # dir 0: pad tail is processed FIRST (t==0 -> mirrored block n_t-1) with
+    # zero cotangents and zero carries -> contributions vanish on their own
+    dh, dc, dwih, dwhh, db = one_dir(
+        x0_ref, hp0_ref, cp0_ref, tc0_ref, g0_ref, dx0_ref,
+        wih_ref[0], whh_ref[0], b_ref[0, 0],
+        dh0s[:], dc0s[:], dwih0_ref[0], dwhh0_ref[0], db0_ref[0, 0],
+        range(unroll - 1, -1, -1), lambda u: None,
+    )
+    dh0s[:] = dh
+    dc0s[:] = dc
+    dwih0_ref[0] = dwih
+    dwhh0_ref[0] = dwhh
+    db0_ref[0, 0] = db
+
+    # dir 1: its backward ENDS in the pad tail (t == n_t-1, high sub-steps)
+    # with a live carry -> mask those contributions explicitly
+    def mask1(u):
+        if pad and u >= unroll - pad:
+            return t < n_t - 1
+        return None
+
+    dh, dc, dwih, dwhh, db = one_dir(
+        x1_ref, hp1_ref, cp1_ref, tc1_ref, g1_ref, dx1_ref,
+        wih_ref[1], whh_ref[1], b_ref[1, 0],
+        dh1s[:], dc1s[:], dwih1_ref[0], dwhh1_ref[0], db1_ref[0, 0],
+        range(unroll), mask1,
+    )
+    dh1s[:] = dh
+    dc1s[:] = dc
+    dwih1_ref[0] = dwih
+    dwhh1_ref[0] = dwhh
+    db1_ref[0, 0] = db
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bilstm2_backward(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0, g1,
+                     w_ih2, b2, w_hh2):
+    """g0/g1 [B, T, H] (forward time) -> (dx [B, T, F], dw_ih2 [2, F, 4H],
+    db2 [2, 4H], dw_hh2 [2, H, 4H])."""
+    Tp, Rp, F = xk.shape
+    H = w_hh2.shape[1]
+    B, T = g0.shape[0], g0.shape[1]
+    f32 = jnp.float32
+    u = _pick_unroll(Tp, 5)
+    pad = Tp - T
+
+    def prep_g(g):
+        gk = jnp.swapaxes(g, 0, 1)  # [T, B, H]
+        if Tp != T or Rp != B:
+            gk = jnp.pad(gk, ((0, Tp - T), (0, Rp - B), (0, 0)))
+        return gk
+
+    g0k = prep_g(g0)
+    g1k = prep_g(g1)
+    # 128-row tiles: this kernel streams 12 double-buffered block operands
+    # (2x x, 2x3 resid, 2 g, 2 dx) — 256-row tiles overflow the 16 MB VMEM
+    # scoped limit in fp32 (measured: 16.5 MB)
+    tile = min(128, Rp)
+    r_tiles = Rp // tile
+    n_t = Tp // u
+    grid = (r_tiles, n_t)
+
+    def fmap(r, t):
+        return (t, r, 0)
+
+    def mmap(r, t):
+        return (n_t - 1 - t, r, 0)
+
+    def wmap(r, t):
+        return (0, 0, 0)
+
+    def amap(r, t):
+        return (r, 0, 0)
+
+    sf = pl.BlockSpec((u, tile, H), fmap)
+    sm = pl.BlockSpec((u, tile, H), mmap)
+    outs = pl.pallas_call(
+        functools.partial(_bilstm2_bwd_kernel, hidden=H, unroll=u, n_t=n_t,
+                          pad=pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((u, tile, F), mmap),   # x for dir-0 bwd
+            pl.BlockSpec((u, tile, F), fmap),   # x for dir-1 bwd
+            sm, sm, sm, sm,                      # hp0 cp0 tc0 g0 (mirrored)
+            sf, sf, sf, sf,                      # hp1 cp1 tc1 g1 (forward)
+            pl.BlockSpec((2, F, 4 * H), wmap),
+            pl.BlockSpec((2, H, 4 * H), wmap),
+            pl.BlockSpec((2, 1, 4 * H), wmap),
+        ],
+        out_specs=(
+            pl.BlockSpec((u, tile, F), mmap),
+            pl.BlockSpec((u, tile, F), fmap),
+            pl.BlockSpec((1, F, 4 * H), amap),
+            pl.BlockSpec((1, H, 4 * H), amap),
+            pl.BlockSpec((1, 1, 4 * H), amap),
+            pl.BlockSpec((1, F, 4 * H), amap),
+            pl.BlockSpec((1, H, 4 * H), amap),
+            pl.BlockSpec((1, 1, 4 * H), amap),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, Rp, F), xk.dtype),
+            jax.ShapeDtypeStruct((Tp, Rp, F), xk.dtype),
+            jax.ShapeDtypeStruct((r_tiles, F, 4 * H), f32),
+            jax.ShapeDtypeStruct((r_tiles, H, 4 * H), f32),
+            jax.ShapeDtypeStruct((r_tiles, 1, 4 * H), f32),
+            jax.ShapeDtypeStruct((r_tiles, F, 4 * H), f32),
+            jax.ShapeDtypeStruct((r_tiles, H, 4 * H), f32),
+            jax.ShapeDtypeStruct((r_tiles, 1, 4 * H), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, H), f32), pltpu.VMEM((tile, H), f32),
+            pltpu.VMEM((tile, H), f32), pltpu.VMEM((tile, H), f32),
+        ],
+    )(xk, xk, hp0, cp0, tc0, g0k, hp1, cp1, tc1, g1k, w_ih2, w_hh2,
+      b2[:, None, :])
+    dx0, dx1, dwih0, dwhh0, db0, dwih1, dwhh1, db1 = outs
+    dx = jnp.swapaxes((dx0 + dx1)[:T, :B], 0, 1)  # [B, T, F]
+    dw_ih2 = jnp.stack([jnp.sum(dwih0, 0), jnp.sum(dwih1, 0)])
+    dw_hh2 = jnp.stack([jnp.sum(dwhh0, 0), jnp.sum(dwhh1, 0)])
+    db2 = jnp.stack([jnp.sum(db0, (0, 1)), jnp.sum(db1, (0, 1))])
+    return dx, dw_ih2, db2, dw_hh2

@@ -330,6 +330,44 @@ def _recurrence_vjp_bwd(save_every, res, g_hs):
 _recurrence.defvjp(_recurrence_vjp_fwd, _recurrence_vjp_bwd)
 
 
+@jax.custom_vjp
+def _recurrence3(x, w_ih2, b2, w_hh2):
+    """No-stack bidirectional pallas path (lengths=None only): both
+    directions in one kernel sweep via static mirrored index maps — the
+    [2, B, T, F] stacked input, its time flip, and the output flip never
+    exist (see pallas_lstm.py bilstm2 section). Returns (out_f, out_b), both
+    [B, T, H] in FORWARD time."""
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_forward
+
+    return bilstm2_forward(x, w_ih2, b2, w_hh2)
+
+
+def _recurrence3_vjp_fwd(x, w_ih2, b2, w_hh2):
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_forward_resid
+
+    outs, resid = bilstm2_forward_resid(x, w_ih2, b2, w_hh2)
+    return outs, (*resid, w_ih2, b2, w_hh2)
+
+
+def _recurrence3_vjp_bwd(res, g):
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_backward
+
+    xk, hp0, cp0, tc0, hp1, cp1, tc1, w_ih2, b2, w_hh2 = res
+    g0, g1 = g
+    dx, dw_ih2, db2, dw_hh2 = bilstm2_backward(
+        xk, hp0, cp0, tc0, hp1, cp1, tc1, g0, g1, w_ih2, b2, w_hh2
+    )
+    return (
+        dx.astype(xk.dtype),
+        dw_ih2.astype(w_ih2.dtype),
+        db2.astype(b2.dtype),
+        dw_hh2.astype(w_hh2.dtype),
+    )
+
+
+_recurrence3.defvjp(_recurrence3_vjp_fwd, _recurrence3_vjp_bwd)
+
+
 def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     """(Bi)LSTM over [B, T, F] -> [B, T, H * ndir], zero initial state.
 
@@ -340,6 +378,19 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     """
     B, T, F = x.shape
     H = fwd.w_hh.shape[0]
+    if (
+        bwd is not None
+        and lengths is None
+        and _LSTM_BACKEND.get() == "pallas"
+        and _LSTM_SAVE_EVERY.get() <= 1
+    ):
+        # no-stack fused bidirectional kernel: no input stack/flip, no
+        # output flip (full-T reversal only -> lengths=None)
+        w_ih2 = jnp.stack([fwd.w_ih, bwd.w_ih]).astype(x.dtype)
+        b2 = jnp.stack([fwd.b, bwd.b])
+        w_hh2 = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(x.dtype)
+        out_f, out_b = _recurrence3(x, w_ih2, b2, w_hh2)
+        return jnp.concatenate([out_f, out_b], axis=-1)  # [B, T, 2H]
     if bwd is None:
         xx = x[None]  # [1, B, T, F]
         w_ih = fwd.w_ih[None]
