@@ -63,9 +63,9 @@ class DPRNNBlock(nn.Module):
         # intra-chunk pass: sequences of length K, batched over B*S
         h = x.reshape(B * S, K, N)
         h = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(h)
-        h = make_dense(N, name="intra_linear")(h)
+        h = make_dense(N, name="intra_linear", dtype=self.dtype)(h)
         h = h.reshape(B, S, K, N)
-        h = GlobalNorm(N, self.norm_type, name="intra_norm")(h, chunk_mask)
+        h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="intra_norm")(h, chunk_mask)
         x = x + h
 
         # inter-chunk pass: sequences of length S, batched over B*K
@@ -76,9 +76,9 @@ class DPRNNBlock(nn.Module):
         h = RNNCore(self.hidden_size, self.bidirectional, self.rnn_type, self.dtype, name="inter_rnn")(
             h, inter_lengths
         )
-        h = make_dense(N, name="inter_linear")(h)
+        h = make_dense(N, name="inter_linear", dtype=self.dtype)(h)
         h = jnp.transpose(h.reshape(B, K, S, N), (0, 2, 1, 3))
-        h = GlobalNorm(N, self.norm_type, name="inter_norm")(h, chunk_mask)
+        h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="inter_norm")(h, chunk_mask)
         return x + h
 
 
@@ -113,6 +113,11 @@ class DPRNNCore(nn.Module):
         K, H = self.chunk_length, self.hop_length
         if time_mask is not None:
             h = h * time_mask  # keep the padded tail exactly zero pre-segmentation
+        if self.dtype is not None:
+            # bf16 path: cast BEFORE segmentation so the 2x-overlap chunked
+            # tensor and every inter-block linear/norm ride bf16 HBM traffic
+            # (the kernels already computed in bf16; fp32 glue was pure waste)
+            h = h.astype(self.dtype)
         h = chunking.segment_cl(h, K, H)  # [B, S, K, F]
         S = h.shape[1]
         block_cls = nn.remat(DPRNNBlock) if self.remat else DPRNNBlock
@@ -127,16 +132,16 @@ class DPRNNCore(nn.Module):
                 name=f"blocks_{i}",
             )(h, chunk_lengths)
         h = PReLU(name="prelu")(h)
-        h = make_dense(2 * F, name="mask_dense")(h)  # reference conv2d 1x1 -> 2F
+        h = make_dense(2 * F, name="mask_dense", dtype=self.dtype)(h)  # reference conv2d 1x1 -> 2F
         # split the 2F channels into the two sources: torch's
         # reshape(B*2, F, K, S) maps channel c=(j*F+f) to source j
         h = h.reshape(B, S, K, 2, F)
         h = jnp.transpose(h, (0, 3, 1, 2, 4)).reshape(B * 2, S, K, F)
         h = chunking.overlap_add_cl(h, L, H)  # [2B, L, F]
-        h = jnp.tanh(make_dense(F, name="out_dense")(h)) * nn.sigmoid(
-            make_dense(F, name="gate_dense")(h)
+        h = jnp.tanh(make_dense(F, name="out_dense", dtype=self.dtype)(h)) * nn.sigmoid(
+            make_dense(F, name="gate_dense", dtype=self.dtype)(h)
         )
-        h = make_dense(self.input_size, use_bias=False, name="end_dense")(h)
+        h = make_dense(self.input_size, use_bias=False, name="end_dense", dtype=self.dtype)(h)
         if self.activation_type == "sigmoid":
             h = nn.sigmoid(h)
         elif self.activation_type == "relu":

@@ -91,17 +91,24 @@ class RNNCore(nn.Module):
 
 class GlobalNorm(nn.Module):
     """Channels-last global layer norm: 'gLN' (GlobLN, eps=1e-8) or 'ln'
-    (torch GroupNorm(1, C), eps=1e-5). Reference norms.py / dprnn.py:72-77."""
+    (torch GroupNorm(1, C), eps=1e-5). Reference norms.py / dprnn.py:72-77.
+
+    ``dtype``: output dtype for the bf16 compute path — statistics are always
+    computed in fp32 (bf16 variance is catastrophically imprecise)."""
 
     channels: int
     norm_type: str = "gLN"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None):
         gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
         beta = self.param("beta", nn.initializers.zeros, (self.channels,))
         eps = norms_ops.GLOBLN_EPS if self.norm_type == "gLN" else norms_ops.GROUPNORM_EPS
-        return norms_ops.global_channel_norm_cl(x, gamma, beta, eps=eps, mask=mask)
+        out = norms_ops.global_channel_norm_cl(
+            x.astype(jnp.float32), gamma, beta, eps=eps, mask=mask
+        )
+        return out.astype(self.dtype or x.dtype)
 
 
 class PReLU(nn.Module):
