@@ -1,0 +1,163 @@
+"""Per-variant benchmark sweep: all 8 reference model variants
+(BASELINE.json configs; reference README.md:36-45 variant table).
+
+For each variant, measures jitted batched inference throughput in separated
+audio-seconds per wall-clock second per chip (same metric as bench.py, target
+>=50x realtime) on 10-second 8 kHz utterances, on the fast path
+(bf16 + fused Pallas LSTM scans; RawNet keeps its sinc front-end in fp32).
+``--parity`` instead benches the fp32 XLA parity path. ``--variant NAME``
+restricts the sweep.
+
+Prints one JSON line per variant and writes/updates the BENCH_ALL.md table.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from __graft_entry__ import FLAGSHIP
+
+SR = 8000
+SECS = 10.0
+
+# backbone-only hparams for the BSS variant (reference config_bss.yaml —
+# same DPRNN trunk, no speaker branch)
+BSS = {k: FLAGSHIP[k] for k in (
+    "input_size", "feature_size", "hidden_size", "chunk_length", "kernel_size",
+    "hop_length", "n_repeats", "bidirectional", "norm_type", "activation_type",
+    "dropout",
+)}
+SPE_FUSIONS = ("add", "att", "cat", "mul", "film")
+
+
+def build(variant: str, fast: bool):
+    import jax.numpy as jnp
+
+    from tss_dprnn_tpu.models import (
+        DPRNNRawNetTasNet,
+        DPRNNSpeIRATasNet,
+        DPRNNSpeTasNet,
+        DPRNNTasNet,
+    )
+
+    dtype = jnp.bfloat16 if fast else None
+    if variant == "bss":
+        return DPRNNTasNet(**BSS, dtype=dtype), "bss"
+    if variant.startswith("spe_"):
+        fusion = variant.split("_", 1)[1]
+        return DPRNNSpeTasNet(**{**FLAGSHIP, "fusion_type": fusion}, dtype=dtype), "spe"
+    if variant == "ira":
+        return DPRNNSpeIRATasNet(**FLAGSHIP, dtype=dtype), "spe"
+    if variant == "rawnet":
+        # RawNet3 speaker branch: 16 kHz raw-wave sinc front-end; embeddings 256
+        # (reference config: embeddings_size 256 for dprnn_rawnet_tasnet). The
+        # sinc filterbank + res2net stats pooling stay fp32 for fidelity; the
+        # DPRNN trunk still uses the fast LSTM path.
+        kw = {**FLAGSHIP, "embeddings_size": 256}
+        kw.pop("fusion_type", None)
+        return DPRNNRawNetTasNet(**kw, fusion_type="att", dtype=dtype), "rawnet"
+    raise SystemExit(f"unknown variant {variant!r}")
+
+
+def bench_variant(variant: str, fast: bool, batch: int) -> dict:
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from tss_dprnn_tpu.ops import rnn as rnn_ops
+
+    model, kind = build(variant, fast)
+    backend = "pallas" if fast else "xla"
+    B, T = batch, int(SECS * SR)
+    rng = np.random.default_rng(0)
+    mix = rng.standard_normal((B, T)).astype(np.float32)
+    args = [mix]
+    if kind == "spe":
+        aux = rng.standard_normal((B, T)).astype(np.float32)
+        args += [aux, np.full((B,), float(T), np.float32)]
+    elif kind == "rawnet":
+        Ta = 2 * T  # 16 kHz reference waveform
+        aux = rng.standard_normal((B, Ta)).astype(np.float32)
+        args += [aux, np.full((B,), float(Ta), np.float32)]
+
+    variables = model.init(jax.random.PRNGKey(0), *[a[:1] for a in args])
+
+    @jax.jit
+    def fwd(*a):
+        with rnn_ops.lstm_backend(backend):
+            out = model.apply(variables, *a)
+        return out[0] if isinstance(out, tuple) else out
+
+    dev = [jax.device_put(a) for a in args]
+    fwd(*dev).block_until_ready()  # compile
+    fwd(*dev).block_until_ready()  # warm (ROUND_NOTES: warm TWO, then time)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(*dev)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    realtime = iters * B * SECS / dt
+    return {
+        "variant": variant,
+        "path": "fast(bf16+pallas)" if fast else "parity(fp32+xla)",
+        "batch": B,
+        "metric": "separated_audio_sec_per_sec_per_chip",
+        "value": round(realtime, 2),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round(realtime / 50.0, 3),
+    }
+
+
+VARIANTS = ["bss"] + [f"spe_{f}" for f in SPE_FUSIONS] + ["ira", "rawnet"]
+
+
+def main():
+    fast = "--parity" not in sys.argv
+    only = sys.argv[sys.argv.index("--variant") + 1] if "--variant" in sys.argv else None
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 32
+    rows = []
+    for v in VARIANTS:
+        if only and v != only:
+            continue
+        # IRA runs two full DPRNN passes; RawNet adds the 16 kHz sinc branch —
+        # smaller batches keep HBM in bounds at 10 s utterances
+        b = {"ira": max(batch // 2, 1), "rawnet": max(batch // 4, 1)}.get(v, batch)
+        row = bench_variant(v, fast, b)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    if not only and rows:
+        write_table(rows, fast)
+
+
+def write_table(rows, fast):
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ALL.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lines = [
+        f"\n## {'fast path' if fast else 'fp32 parity path'} — {stamp}\n",
+        "| variant | batch | audio-sec/sec/chip | x realtime vs 50x target |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| {r['variant']} | {r['batch']} | {r['value']} | {r['vs_baseline']}x |")
+    header = (
+        "# Per-variant benchmark sweep\n\n"
+        "All 8 BASELINE.json variants, jitted batched inference on 10 s 8 kHz\n"
+        "utterances, one chip. Generated by `python bench_all.py [--parity]`.\n"
+    )
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(header)
+    with open(path, "a") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,67 @@ def test_resample_sine_preserved():
 def test_resample_identity():
     x = np.random.default_rng(0).standard_normal(1234).astype(np.float32)
     np.testing.assert_array_equal(resample(x, 8000, 8000), x)
+
+
+def test_train_loader_per_host_sharding(tmp_path):
+    """Multi-host DP input pipeline: with (process_index, process_count) the
+    hosts' index streams are disjoint, equal-length, and their union covers
+    the global batch list (SURVEY.md §5.8 per-host sharding obligation)."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=9, min_sec=1.0, max_sec=1.2)
+    ds = Librimix(csv_path=csv, segment=0.5)
+    pc = 2
+    loaders = [
+        TrainLoader(ds, batch_size=2, collate_fn=collate_bss, seed=7, prefetch=0,
+                    process_index=pi, process_count=pc)
+        for pi in range(pc)
+    ]
+    global_loader = TrainLoader(ds, batch_size=2, collate_fn=collate_bss, seed=7,
+                                prefetch=0)
+    for ld in loaders + [global_loader]:
+        ld.set_epoch(3)
+    per_host = [list(ld._index_batches()) for ld in loaders]
+    # equal step counts per host (lock-step SPMD requirement)
+    assert len(per_host[0]) == len(per_host[1]) == len(loaders[0])
+    seen = [tuple(b.tolist()) for batches in per_host for b in batches]
+    assert len(seen) == len(set(seen))  # disjoint
+    global_batches = [tuple(b.tolist()) for b in global_loader._index_batches()]
+    truncated = pc * (len(global_batches) // pc)
+    assert set(seen) == set(global_batches[:truncated])  # full coverage
+
+
+def test_train_loader_epoch_keyed_shuffle(tmp_path):
+    """Same (seed, epoch) -> same order; different epoch -> different order;
+    a fresh loader replays any epoch (exact-resume contract)."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=8, min_sec=1.0, max_sec=1.2)
+    ds = Librimix(csv_path=csv, segment=0.5)
+
+    def order(loader, epoch):
+        loader.set_epoch(epoch)
+        return [tuple(b.tolist()) for b in loader._index_batches()]
+
+    l1 = TrainLoader(ds, batch_size=2, collate_fn=collate_bss, seed=0, prefetch=0)
+    l2 = TrainLoader(ds, batch_size=2, collate_fn=collate_bss, seed=0, prefetch=0)
+    assert order(l1, 1) == order(l2, 1)
+    assert order(l1, 1) != order(l1, 2)
+    # un-managed iteration still varies across epochs
+    l3 = TrainLoader(ds, batch_size=2, collate_fn=collate_bss, seed=0, prefetch=0)
+    a = [b["mix"].tobytes() for b in l3]
+    b = [b["mix"].tobytes() for b in l3]
+    assert a != b
+
+
+def test_bucketed_eval_loader_per_host_sharding(tmp_path):
+    csv = make_mini_librimix(str(tmp_path), n_mix=10, min_sec=1.0, max_sec=2.0)
+    ds = Librimix(csv_path=csv, segment=None)
+    lengths = [ds[i][0].shape[0] for i in range(len(ds))]
+    pc = 3
+    plans = []
+    for pi in range(pc):
+        ld = BucketedEvalLoader(ds, batch_size=2, collate_fn=collate_bss_eval,
+                                lengths=lengths, process_index=pi, process_count=pc)
+        plans.append([tuple(chunk) for _, chunk in ld._batch_plan()])
+    ld_all = BucketedEvalLoader(ds, batch_size=2, collate_fn=collate_bss_eval,
+                                lengths=lengths)
+    all_chunks = [tuple(chunk) for _, chunk in ld_all._batch_plan()]
+    flat = [c for p in plans for c in p]
+    assert sorted(flat) == sorted(all_chunks)  # disjoint + complete coverage

@@ -100,3 +100,33 @@ def test_inferencer_requires_checkpoint(tmp_path):
     model = DPRNNTasNet(**TINY)
     with pytest.raises(ValueError):
         Inferencer(model, {"checkpoint_path": None, "data": {"sample_rate": SR}})
+
+
+def test_sharded_eval_equals_single_device(tmp_path):
+    """Multi-chip inference (mesh data sharding + pad_to_batch filler rows)
+    produces the same per-utterance metrics as the plain single-device path."""
+    from tss_dprnn_tpu.parallel import make_mesh
+
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=2.0)
+    test_set = LibrimixSpe(csv_path=csv, segment=None)
+    model = DPRNNSpeTasNet(**TINY, O=8, P=12, embeddings_size=8, num_spks=8,
+                           fusion_type="att")
+    z = np.zeros((1, SR), np.float32)
+    path = _save_random_checkpoint(tmp_path, model, (z, z, np.array([SR], np.float32)))
+
+    def run(savedir, mesh):
+        config = {"checkpoint_path": path, "test_savedir": str(tmp_path / savedir),
+                  "data": {"sample_rate": SR}, "metrics": ["si_sdr"]}
+        inf = InferencerSpe(model, config, mesh=mesh)
+        # batch 4 over a 4-way data axis; 6 utterances -> ragged tails padded
+        return inf.run(test_set, batch_size=4, n_buckets=2, bucket_multiple=4000)
+
+    single = run("m_single", None)
+    sharded = run("m_sharded", make_mesh(data=4))
+    import pandas as pd
+
+    df_s = pd.read_csv(tmp_path / "m_single" / "all_metrics.csv", index_col=0)
+    df_m = pd.read_csv(tmp_path / "m_sharded" / "all_metrics.csv", index_col=0)
+    assert len(df_m) == len(df_s) == 6  # filler rows dropped
+    np.testing.assert_allclose(df_m["si_sdr"], df_s["si_sdr"], rtol=0, atol=5e-4)
+    assert sharded["si_sdr"] == pytest.approx(single["si_sdr"], abs=5e-4)

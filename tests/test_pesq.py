@@ -91,3 +91,38 @@ def test_against_itu_binary():  # pragma: no cover - only with the C extension
         assert pesq(8000, x, d) == pytest.approx(
             itu_pesq(8000, x, d, "nb"), abs=0.45
         )
+
+
+def test_degradation_battery_monotone():
+    """Broadband-material battery (scripts/perf/pesq_battery.py): scores must
+    decrease with severity within each degradation family — level shifts,
+    band-limiting, clipping, echo, mu-law companding. Absolute windows for
+    families other than additive noise are documented (with measured
+    deviations from ITU-typical values) in PARITY.md."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from scripts.perf.pesq_battery import (
+        clip, echo, lowpass, mu_law_bits, speech_like, with_snr,
+    )
+
+    fs = 8000
+    ref = speech_like(fs, seconds=4.0)
+
+    def mos(deg):
+        return pesq(fs, ref, deg)
+
+    top = mos(ref)
+    assert top > 4.5
+    # level alignment: gain is (near-)transparent
+    for g_db in (10, -10, -20):
+        assert mos(ref * 10 ** (g_db / 20)) > 4.4
+    for fam in (
+        [with_snr(ref, s) for s in (35, 25, 15, 5)],
+        [lowpass(ref, fs, c) for c in (3400, 2000, 1000)],
+        [clip(ref, f) for f in (0.5, 0.25, 0.1)],
+        [echo(ref, fs, 100, 10 ** (-g / 20)) for g in (20, 10, 3)],
+        [mu_law_bits(ref, b) for b in (8, 4)],
+    ):
+        scores = [mos(d) for d in fam]
+        assert all(top >= a >= b - 1e-9 for a, b in zip([top] + scores, scores)), scores

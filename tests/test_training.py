@@ -140,3 +140,54 @@ def test_train_step_compiles_once(tmp_path):
     state = state.set_learning_rate(3e-4)  # epoch-boundary scheduler update
     state, _, _ = trainer._train_step(state, sharded)
     assert trainer._train_step._cache_size() == 1
+
+
+def test_exact_resume_bitwise(tmp_path):
+    """save_optimizer: true — train(2 epochs) == train(1) + resume(1),
+    bitwise on params AND optimizer moments. Exercises the full payload:
+    opt_state leaves, global step, lr-scheduler internals (exponential decay
+    so the resumed epoch must train at the decayed lr), run counters, and the
+    epoch-keyed loader shuffle (the resumed run replays epoch 2's order)."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=8, min_sec=1.0, max_sec=1.5)
+    ds = Librimix(csv_path=csv, segment=0.5)
+
+    def mk_train():
+        return TrainLoader(ds, batch_size=4, collate_fn=collate_bss, seed=0, prefetch=0)
+
+    def mk_eval():
+        return TrainLoader(ds, batch_size=4, collate_fn=collate_bss, seed=0,
+                           shuffle=False, prefetch=0)
+
+    def cfg(subdir, **over):
+        c = _config(tmp_path)
+        c["new_checkpoints_path"] = str(tmp_path / subdir)
+        c["save_optimizer"] = True
+        c["lr_scheduler"] = {"decay_rate": 0.5}
+        c.update(over)
+        return c
+
+    mesh = make_mesh(data=4)
+
+    # uninterrupted 2-epoch run
+    t_full = Trainer(DPRNNTasNet(**TINY), cfg("full"), mesh=mesh, seed=0)
+    t_full.run(mk_train(), mk_eval(), n_epochs=2, early_stop=10)
+
+    # 1 epoch, then resume for the 2nd from the saved "1_last"
+    t_a = Trainer(DPRNNTasNet(**TINY), cfg("ab"), mesh=mesh, seed=0)
+    t_a.run(mk_train(), mk_eval(), n_epochs=1, early_stop=10)
+    t_b = Trainer(
+        DPRNNTasNet(**TINY),
+        cfg("ab2", checkpoint_path=str(tmp_path / "ab" / "1_last")),
+        mesh=mesh, seed=0,
+    )
+    t_b.run(mk_train(), mk_eval(), n_epochs=2, early_stop=10)
+    assert t_b.cur_epoch == 2
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        t_full.state.params, t_b.state.params,
+    )
+    for a, b in zip(jax.tree.leaves(t_full.state.opt_state),
+                    jax.tree.leaves(t_b.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(t_full.state.step) == int(t_b.state.step)

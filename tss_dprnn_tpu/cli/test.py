@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--set", nargs="*", default=[])
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--n-buckets", type=int, default=8)
+    parser.add_argument("--data-parallel", type=int, default=1, metavar="N",
+                        help="shard eval batches over an N-device mesh "
+                             "(0 = all devices; default 1 = single-chip)")
     args = parser.parse_args(argv)
 
     logger = get_logger("test")
@@ -36,7 +39,22 @@ def main(argv=None):
 
     reporter = Reporter(config, logger)
     model = build_model(model_config(config))
-    inferencer = InferencerClass(model, config, logger=logger, reporter=reporter)
+    mesh = None
+    n_dp = args.data_parallel
+    if n_dp != 1:
+        import jax
+
+        from tss_dprnn_tpu.parallel import make_mesh
+
+        avail = jax.device_count()
+        n_dp = avail if n_dp == 0 else n_dp
+        if n_dp > 1:
+            if args.batch_size % n_dp:
+                parser.error(f"--batch-size {args.batch_size} must be divisible "
+                             f"by the data-parallel degree {n_dp}")
+            mesh = make_mesh(data=n_dp)
+            logger.info("Sharded eval over %d devices.", n_dp)
+    inferencer = InferencerClass(model, config, logger=logger, reporter=reporter, mesh=mesh)
     final = inferencer.run(test_set, batch_size=args.batch_size, n_buckets=args.n_buckets)
     logger.info("FINAL: %s", final)
     reporter.wandb_finish()

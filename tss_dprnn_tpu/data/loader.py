@@ -50,32 +50,76 @@ def collate_spe(items, resample_ref_to: Optional[int] = None, sample_rate: int =
     return {"mix": mix, "target": target, "reference": ref, "ref_len": ref_len, "spk_idx": spk}
 
 
+def _resolve_process(process_index: Optional[int], process_count: Optional[int]):
+    """Default the per-host slice to this host's jax process coordinates
+    (multi-host DP: each host feeds a disjoint slice of the index stream,
+    SURVEY.md §5.8 — the reference's DataLoader has no multi-host story)."""
+    if process_count is None:
+        try:
+            import jax
+
+            process_index, process_count = jax.process_index(), jax.process_count()
+        except Exception:
+            process_index, process_count = 0, 1
+    return int(process_index or 0), int(process_count)
+
+
 class TrainLoader:
-    """Shuffled fixed-shape batches with optional background prefetch."""
+    """Shuffled fixed-shape batches with optional background prefetch.
+
+    The shuffle is keyed on ``(seed, epoch)`` — deterministic per epoch, so a
+    resumed run (trainer ``save_optimizer: true``) replays the exact batch
+    order of the uninterrupted run. The trainer calls ``set_epoch``; plain
+    iteration without it advances an internal epoch counter.
+
+    With ``process_count > 1`` each host yields the disjoint slice
+    ``batches[process_index::process_count]`` of the (globally shuffled)
+    batch list, truncated so every host steps the same number of times.
+    """
 
     def __init__(self, dataset, batch_size: int, collate_fn, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0, prefetch: int = 2):
+                 drop_last: bool = True, seed: int = 0, prefetch: int = 2,
+                 process_index: Optional[int] = None, process_count: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.process_index, self.process_count = _resolve_process(process_index, process_count)
+        self._epoch = 0
 
-    def __len__(self):
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _global_len(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __len__(self):
+        return self._global_len() // self.process_count
 
     def _index_batches(self) -> List[np.ndarray]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(idx)
-        nb = len(self)
-        return [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+            np.random.default_rng((self.seed, self._epoch)).shuffle(idx)
+        nb = self._global_len()
+        batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+        if self.process_count > 1:
+            batches = batches[self.process_index :: self.process_count][: len(self)]
+        return batches
+
+    def peek(self) -> Dict[str, np.ndarray]:
+        """One collated batch without advancing the epoch or starting the
+        prefetch thread — the trainer uses it to materialize model/optimizer
+        state (shapes only) before its epoch loop."""
+        batches = self._index_batches()
+        return self.collate_fn([self.dataset[int(i)] for i in batches[0]])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._index_batches()
+        self._epoch += 1  # vary the shuffle when the caller never set_epoch()s
         if self.prefetch <= 0:
             for b in batches:
                 yield self.collate_fn([self.dataset[int(i)] for i in b])
@@ -150,12 +194,19 @@ class BucketedEvalLoader:
     make_collate_spe_eval)."""
 
     def __init__(self, dataset, batch_size: int, collate_fn, lengths: Sequence[int],
-                 n_buckets: int = 8, multiple: int = 2000):
+                 n_buckets: int = 8, multiple: int = 2000,
+                 process_index: Optional[int] = None, process_count: Optional[int] = None,
+                 pad_to_batch: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.lengths = np.asarray(lengths)
         self.bounds = bucket_boundaries(lengths, n_buckets, multiple)
+        self.process_index, self.process_count = _resolve_process(process_index, process_count)
+        # pad ragged tail batches to batch_size by repeating the last item
+        # (padded rows get index -1): every batch then has the same static
+        # shape — one compile per bucket, and axis 0 divides a mesh data axis
+        self.pad_to_batch = pad_to_batch
 
     def _bucket_of(self, length: int) -> int:
         for b in self.bounds:
@@ -163,15 +214,31 @@ class BucketedEvalLoader:
                 return b
         return self.bounds[-1]
 
-    def __iter__(self):
+    def _batch_plan(self) -> List:
         groups: Dict[int, List[int]] = {}
         for i, l in enumerate(self.lengths):
             groups.setdefault(self._bucket_of(int(l)), []).append(i)
+        plan = []
         for bucket_T, idxs in sorted(groups.items()):
             for i0 in range(0, len(idxs), self.batch_size):
-                chunk = idxs[i0 : i0 + self.batch_size]
-                items = [self.dataset[int(i)] for i in chunk]
-                batch = self.collate_fn(items, bucket_T)
-                batch["lengths"] = self.lengths[chunk].astype(np.int32)
-                batch["indices"] = np.asarray(chunk, np.int32)
-                yield batch
+                plan.append((bucket_T, idxs[i0 : i0 + self.batch_size]))
+        # eval sharding: each host processes a disjoint slice; hosts may see
+        # different batch counts (eval loops are host-local, no collectives)
+        if self.process_count > 1:
+            plan = plan[self.process_index :: self.process_count]
+        return plan
+
+    def __iter__(self):
+        for bucket_T, chunk in self._batch_plan():
+            items = [self.dataset[int(i)] for i in chunk]
+            lengths = self.lengths[chunk].astype(np.int32)
+            indices = np.asarray(chunk, np.int32)
+            if self.pad_to_batch and len(items) < self.batch_size:
+                pad = self.batch_size - len(items)
+                items = items + [items[-1]] * pad
+                lengths = np.concatenate([lengths, np.repeat(lengths[-1:], pad)])
+                indices = np.concatenate([indices, np.full((pad,), -1, np.int32)])
+            batch = self.collate_fn(items, bucket_T)
+            batch["lengths"] = lengths
+            batch["indices"] = indices
+            yield batch

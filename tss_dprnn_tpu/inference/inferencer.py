@@ -42,7 +42,7 @@ class Inferencer:
     mode = "bss"
 
     def __init__(self, model, config: Dict[str, Any], logger=None, reporter=None,
-                 example_init_args=None):
+                 example_init_args=None, mesh=None):
         self.model = model
         self.config = config
         self.logger = logger or get_logger("inferencer")
@@ -61,6 +61,16 @@ class Inferencer:
         self.variables = load_checkpoint_variables(checkpoint_path, target)["variables"]
         # 'xla' = parity path (default); 'pallas' = fused TPU kernel fast path
         self.lstm_backend = config.get("lstm_backend", "xla")
+        # Multi-chip eval (replaces the reference's serial per-utterance loop,
+        # src/inferencers/inferencer.py:48-78, at scale): variables replicate
+        # over the mesh, bucketed batches shard axis 0 over the 'data' axis,
+        # GSPMD partitions the forward. Padded tail rows (index -1) keep every
+        # batch divisible by the data axis; masked eval makes padding exact.
+        self.mesh = mesh
+        if mesh is not None:
+            from tss_dprnn_tpu.parallel import replicated
+
+            self.variables = jax.device_put(self.variables, replicated(mesh))
 
         def fwd(batch):
             from tss_dprnn_tpu.ops import rnn as rnn_ops
@@ -70,24 +80,34 @@ class Inferencer:
 
         self._fwd = jax.jit(fwd)
 
+    def _device_batch(self, batch: Dict[str, Any]):
+        if self.mesh is None:
+            return batch
+        from tss_dprnn_tpu.parallel import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
     # -------------------------------------------------------------- forward
 
     def _forward(self, batch):
         return self.model.apply(self.variables, batch["mix"], lengths=batch["lengths"])
 
     def _run_forward(self, batch):
-        return np.asarray(self._fwd({"mix": batch["mix"], "lengths": batch["lengths"]}))
+        d = self._device_batch({"mix": batch["mix"], "lengths": batch["lengths"]})
+        return np.asarray(self._fwd(d))
 
     def _make_loader(self, test_set, batch_size, n_buckets, multiple):
         return BucketedEvalLoader(
             test_set, batch_size, collate_bss_eval, test_set.lengths(),
-            n_buckets=n_buckets, multiple=multiple,
+            n_buckets=n_buckets, multiple=multiple, pad_to_batch=self.mesh is not None,
         )
 
     def _item_rows(self, batch, out) -> List[Dict[str, Any]]:
         rows = []
         B = batch["mix"].shape[0]
         for b in range(B):
+            if int(batch["indices"][b]) < 0:
+                continue  # pad_to_batch filler row
             l = int(batch["lengths"][b])
             mix = batch["mix"][b, :l]
             sources = batch["sources"][b, :, :l]

@@ -27,7 +27,8 @@ class InferencerSpe(Inferencer):
 
     def _run_forward(self, batch):
         keys = ("mix", "reference", "ref_len", "lengths")
-        return np.asarray(self._fwd({k: batch[k] for k in keys}))
+        d = self._device_batch({k: batch[k] for k in keys})
+        return np.asarray(self._fwd(d))
 
     def _make_loader(self, test_set, batch_size, n_buckets, multiple):
         collate = make_collate_spe_eval(
@@ -35,12 +36,14 @@ class InferencerSpe(Inferencer):
         )
         return BucketedEvalLoader(
             test_set, batch_size, collate, test_set.lengths(),
-            n_buckets=n_buckets, multiple=multiple,
+            n_buckets=n_buckets, multiple=multiple, pad_to_batch=self.mesh is not None,
         )
 
     def _item_rows(self, batch, out) -> List[Dict[str, Any]]:
         rows = []
         for b in range(batch["mix"].shape[0]):
+            if int(batch["indices"][b]) < 0:
+                continue  # pad_to_batch filler row
             l = int(batch["lengths"][b])
             mix = batch["mix"][b, :l]
             target = batch["target"][b, :l]

@@ -47,7 +47,7 @@ class Trainer:
         self.print_freq = int(config.get("print_freq", 5))
         self.sample_rate = int(config.get("data", {}).get("sample_rate", 8000))
         self.is_metrics = bool(config.get("is_metrics", False))
-        self.metrics = ["si_sdr", "pesq", "stoi"]
+        self.metrics = list(config.get("metrics") or ["si_sdr", "pesq", "stoi"])
 
         opt_cfg = config.get("optimizer", {})
         self.base_lr = float(opt_cfg.get("lr", 1e-3))
@@ -77,6 +77,12 @@ class Trainer:
                 self.base_lr, float(sched.get("factor", 0.5)), int(sched.get("patience", 2))
             )
             self.plateau = True
+
+        # exact-resume (capability superset over the reference, which saves an
+        # 'optimizer' entry but never restores it, trainer.py:294-306): persist
+        # opt_state + step + lr-scheduler + run counters and restore them all
+        self.save_optimizer = bool(config.get("save_optimizer", False))
+        self._resume_run: Optional[Dict[str, Any]] = None
 
         self.checkpoint_path = config.get("checkpoint_path")
         self.ckpt = CheckpointManager(
@@ -127,6 +133,32 @@ class Trainer:
             )
             if "cur_epoch" not in self.config or self.config.get("cur_epoch") in (None, 0):
                 self.cur_epoch = loaded["epoch"]
+            extras = loaded.get("extras") or {}
+            if self.save_optimizer and extras.get("opt_leaves") is not None:
+                import jax.numpy as jnp
+
+                treedef = jax.tree.structure(state.opt_state)
+                template = jax.tree.leaves(state.opt_state)
+                leaves = [
+                    jnp.asarray(np.asarray(saved), t.dtype)
+                    for saved, t in zip(extras["opt_leaves"], template)
+                ]
+                assert len(leaves) == len(template), (
+                    f"checkpoint opt_state has {len(extras['opt_leaves'])} leaves, "
+                    f"optimizer expects {len(template)} — config mismatch"
+                )
+                state = state.replace(
+                    opt_state=jax.tree.unflatten(treedef, leaves),
+                    step=jnp.asarray(int(extras.get("step", 0)), jnp.int32),
+                )
+                if extras.get("scheduler"):
+                    self.lr_scheduler.load_state_dict(extras["scheduler"])
+                    # push the restored lr into the state: the fresh opt_state
+                    # was built with base_lr, but the resumed epoch must train
+                    # at the scheduler's current lr
+                    state = state.set_learning_rate(self.lr_scheduler.lr)
+                self._resume_run = extras.get("run")
+                self.logger.info("Exact resume: optimizer/scheduler state restored.")
         else:
             self.logger.info("Starting new training run.")
         # Commit the WHOLE state to the mesh (params, batch_stats, opt_state,
@@ -205,6 +237,10 @@ class Trainer:
         from tss_dprnn_tpu.utils.profiling import trace
 
         self.logger.info("Set train mode...")
+        if hasattr(dataloader, "set_epoch"):
+            # epoch-keyed shuffle: a resumed run replays the same batch order
+            # the uninterrupted run would have seen (exact-resume contract)
+            dataloader.set_epoch(self.cur_epoch)
         num_steps = len(dataloader)
         total_loss = 0.0
         self._metric_sums = {}
@@ -240,8 +276,21 @@ class Trainer:
         return self._log_epoch(total_loss, max(num_steps, 1), start_time, end_time, "eval")
 
     def run(self, train_loader, eval_loader, n_epochs: int, early_stop: int):
+        if self.state is None:
+            # materialize (and, when checkpoint_path is set, restore) state
+            # BEFORE the epoch loop: the resume epoch and exact-resume run
+            # counters must be in place when the loop starts, not at the
+            # first batch of an already-begun epoch
+            batch = train_loader.peek() if hasattr(train_loader, "peek") \
+                else next(iter(train_loader))
+            self._ensure_state(batch)
         best_loss = 100500.0  # reference sentinel (trainer.py:181)
         no_improve_cnt = 0
+        if self._resume_run is not None:
+            best_loss = float(self._resume_run.get("best_loss", best_loss))
+            no_improve_cnt = int(self._resume_run.get("no_improve_cnt", no_improve_cnt))
+            self._resume_run = None
+        self._run_counters = {"best_loss": best_loss, "no_improve_cnt": no_improve_cnt}
         while self.cur_epoch < n_epochs:
             self.logger.info("Initiating epoch %d.", self.cur_epoch)
             self.cur_epoch += 1
@@ -253,10 +302,12 @@ class Trainer:
 
             if eval_loss >= best_loss:
                 no_improve_cnt += 1
+                self._run_counters = {"best_loss": best_loss, "no_improve_cnt": no_improve_cnt}
                 self.logger.info("No improvement, Best Loss: %.4f.", -best_loss)
             else:
                 best_loss = eval_loss
                 no_improve_cnt = 0
+                self._run_counters = {"best_loss": best_loss, "no_improve_cnt": no_improve_cnt}
                 self._save_checkpoint(best=True)
                 self.logger.info(
                     "Epoch: %d, Now Best Loss Change: %.4f.", self.cur_epoch, -best_loss
@@ -276,16 +327,17 @@ class Trainer:
         host metrics over the epoch."""
         from tss_dprnn_tpu.ops import metrics as metrics_mod
 
-        est = np.asarray(aux.get("est"))
+        est = aux.get("est")
         if est is None:
             return
+        est = np.asarray(est)
         target = np.asarray(batch.get("target", batch.get("sources")))
         mix = np.asarray(batch["mix"])
         for b in range(mix.shape[0]):
             md = metrics_mod.get_metrics(mix[b], target[b], est[b], self.sample_rate,
-                                         ["si_sdr", "stoi"])
-            for k in ("si_sdr", "stoi"):
-                if md[k] is not None and np.isfinite(md[k]):
+                                         self.metrics)
+            for k in self.metrics:
+                if md.get(k) is not None and np.isfinite(md[k]):
                     self._metric_sums[k] = self._metric_sums.get(k, 0.0) + md[k]
             self._metric_cnt += 1
 
@@ -344,5 +396,16 @@ class Trainer:
             "params": to_pure_tree(self.state.params),
             "batch_stats": to_pure_tree(self.state.batch_stats),
         }
+        if self.save_optimizer:
+            # exact-resume payload: opt_state as an ordered leaf list (rebuilt
+            # against the fresh optimizer's treedef on load), global step,
+            # lr-scheduler internals, and the run loop's best/no-improve
+            # counters — train(2 epochs) == train(1) + resume(1), bitwise
+            tree["opt_leaves"] = [np.asarray(a) for a in jax.tree.leaves(self.state.opt_state)]
+            tree["step"] = int(self.state.step)
+            tree["scheduler"] = self.lr_scheduler.state_dict()
+            run_counters = dict(getattr(self, "_run_counters", {}) or {})
+            if run_counters:
+                tree["run"] = run_counters
         path = self.ckpt.save(self.cur_epoch, tree, best=best)
         self.logger.info("Saved checkpoint: %s", path)

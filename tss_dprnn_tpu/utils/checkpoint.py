@@ -67,7 +67,14 @@ def load_checkpoint_variables(path: str, target_variables=None) -> Dict[str, Any
             from tss_dprnn_tpu.utils.torch_convert import validate_against
 
             validate_against(target_variables, variables)  # hard-fail on mismatch
-        return {"variables": variables, "epoch": int(tree.get("epoch", 0))}
+        # optional exact-resume payload (trainer save_optimizer: true)
+        extras = {
+            k: tree[k]
+            for k in ("opt_leaves", "step", "scheduler", "run")
+            if k in tree and tree[k] is not None
+        }
+        return {"variables": variables, "epoch": int(tree.get("epoch", 0)),
+                "extras": extras}
     # torch checkpoint
     import torch
 
