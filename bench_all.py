@@ -128,6 +128,11 @@ def main():
         # IRA runs two full DPRNN passes; RawNet adds the 16 kHz sinc branch —
         # smaller batches keep HBM in bounds at 10 s utterances
         b = {"ira": max(batch // 2, 1), "rawnet": max(batch // 4, 1)}.get(v, batch)
+        if not fast:
+            # fp32 XLA path precomputes the scans' input projections
+            # ([T', 2, rows, 4H] fp32 ~ 0.65 GB per batch element at 10 s):
+            # B=32 wants 21 GB > 16 GB HBM
+            b = min(b, 8)
         row = bench_variant(v, fast, b)
         rows.append(row)
         print(json.dumps(row), flush=True)

@@ -71,3 +71,49 @@ def test_cli_full_workflow(tmp_path):
     assert np.isfinite(final["si_sdr"])
     saved = json.loads((tmp_path / "metrics" / "final_metrics.json").read_text())
     assert set(saved) == {"si_sdr", "si_sdr_imp", "stoi", "stoi_imp"}
+
+
+def test_cli_test_data_parallel(tmp_path):
+    """test CLI --data-parallel N: sharded eval over an N-device mesh gives
+    the same final metrics as the single-chip path."""
+    csv = make_mini_librimix(str(tmp_path / "wavs"), n_mix=6, min_sec=1.0, max_sec=1.5)
+    gen_cfg = dict(
+        dataset_type="librimix_spe", sample_rate=8000, n_src=2, segment=0.5, seed=0,
+        test_path=csv, test_out=str(tmp_path / "m/test.json"),
+    )
+    p = tmp_path / "gen.yaml"
+    p.write_text(yaml.safe_dump(gen_cfg))
+    generate_manifests.main(["--config", str(p)])
+
+    import jax
+
+    from tss_dprnn_tpu.models.registry import build_model
+    from tss_dprnn_tpu.utils.checkpoint import CheckpointManager
+
+    model = build_model(dict(TINY_MODEL))
+    z = np.zeros((1, 8000), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), z, z, np.array([8000.0], np.float32))
+    ck = CheckpointManager(str(tmp_path / "chkpts"))
+    import jax.numpy as jnp  # noqa: F401
+
+    best = ck.save(1, {"epoch": 1,
+                       "params": jax.tree.map(np.asarray, variables["params"]),
+                       "batch_stats": jax.tree.map(np.asarray,
+                                                   variables.get("batch_stats", {}))},
+                   best=True)
+
+    def run(savedir, extra):
+        cfg = dict(
+            name="e", is_test=True,
+            data=dict(use_generated_test=str(tmp_path / "m/test.json"), sample_rate=8000),
+            model=TINY_MODEL, checkpoint_path=str(best),
+            test_savedir=str(tmp_path / savedir), metrics=["si_sdr"],
+        )
+        pp = tmp_path / f"{savedir}.yaml"
+        pp.write_text(yaml.safe_dump(cfg))
+        return test_cli.main(["--config", str(pp), "--mode", "tss_spe",
+                              "--batch-size", "4", "--n-buckets", "2"] + extra)
+
+    single = run("m1", [])
+    sharded = run("m4", ["--data-parallel", "4"])
+    assert abs(single["si_sdr"] - sharded["si_sdr"]) < 5e-4

@@ -110,8 +110,18 @@ def test_flagship_ira_parity(rng):
 
 @pytest.mark.slow
 def test_flagship_rawnet_parity(rng):
-    # RawNet shipped sizes: C=1024, scale 8, sinc stride 10, embeddings 256
-    # (reference RawNet3.py defaults / config embeddings_size 256)
+    """RawNet at shipped sizes (C=1024, scale 8, sinc stride 10, embeddings
+    256 — reference RawNet3.py defaults / config embeddings_size 256).
+
+    The fixed 60 dB bar doesn't apply here: the sinc front-end's
+    ``log(|conv| + 1e-6)`` (reference RawNet3.py:88) has unbounded derivative
+    near zero, so at C=1024 *torch's own fp32 forward* sits only ~39 dB from
+    a float64 oracle (measured; flax fp32 is ~39 dB too, and flax is closer
+    to torch-fp32 — 51 dB on logits — than either is to fp64). The
+    meaningful criterion is equidistance: the flax output must be no farther
+    from the fp64 ground truth than the reference's own fp32 forward
+    (within a small margin), i.e. our deviation is inside the reference
+    implementation's intrinsic numerical noise."""
     cfg = Cfg(**{k: v for k, v in FLAG.items() if hasattr(Cfg, k)},
               fusion_type="att")
     cfg.embeddings_size = 256
@@ -120,7 +130,11 @@ def test_flagship_rawnet_parity(rng):
     sd = make_rawnet_model_sd(cfg, rcfg, seed=14)
     mix = rng.standard_normal((1, T)).astype(np.float32)
     aux = rng.standard_normal((1, T16)).astype(np.float32)
-    ref_wav, _ = oracle_rawnet(sd, cfg, rcfg, torch.from_numpy(mix), torch.from_numpy(aux))
+    ref32, _ = oracle_rawnet(sd, cfg, rcfg, torch.from_numpy(mix), torch.from_numpy(aux))
+    sd64 = {k: v.double() for k, v in sd.items()}
+    ref64, _ = oracle_rawnet(sd64, cfg, rcfg,
+                             torch.from_numpy(mix).double(),
+                             torch.from_numpy(aux).double())
     model = DPRNNRawNetTasNet(
         **{k: v for k, v in _model_kwargs(cfg, spe=True).items()
            if k not in ("O", "P", "fusion_type")},
@@ -128,6 +142,10 @@ def test_flagship_rawnet_parity(rng):
         rawnet_C=rcfg.C, rawnet_scale=rcfg.model_scale, rawnet_sinc_stride=rcfg.sinc_stride,
     )
     wav, _ = model.apply(convert_state_dict(sd), mix, aux)
-    s = snr_db(ref_wav.detach().numpy(), np.asarray(wav))
-    print(f"rawnet flagship SNR vs oracle: {s:.1f} dB")
-    assert s >= MIN_SNR_DB
+    ref64 = ref64.detach().numpy()
+    s_torch32 = snr_db(ref64, ref32.detach().numpy().astype(np.float64))
+    s_flax = snr_db(ref64, np.asarray(wav, np.float64))
+    print(f"rawnet flagship: torch-fp32 vs fp64 {s_torch32:.1f} dB, "
+          f"flax vs fp64 {s_flax:.1f} dB")
+    assert s_flax >= s_torch32 - 3.0
+    assert s_flax >= 18.0  # hard floor: still far above audibility of error

@@ -191,3 +191,32 @@ def test_exact_resume_bitwise(tmp_path):
                     jax.tree.leaves(t_b.state.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(t_full.state.step) == int(t_b.state.step)
+
+
+def test_is_metrics_epoch_summary(tmp_path):
+    """is_metrics: true accumulates per-utterance host metrics during training
+    and reports the epoch means (the reference's path crashes with an
+    UnboundLocalError, trainer.py:253-255; ours must work)."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=8, min_sec=1.0, max_sec=1.5)
+    ds = Librimix(csv_path=csv, segment=0.5)
+    loader = TrainLoader(ds, batch_size=8, collate_fn=collate_bss, seed=0, prefetch=0)
+
+    class SpyReporter:
+        def __init__(self):
+            self.calls = []
+
+        def add_and_report(self, logs=None, mode="train"):
+            self.calls.append((mode, logs))
+
+    spy = SpyReporter()
+    cfg = _config(tmp_path)
+    cfg["is_metrics"] = True
+    cfg["metrics"] = ["si_sdr", "stoi"]  # pesq is heavy; config narrows the set
+    trainer = Trainer(DPRNNTasNet(**TINY), cfg, mesh=make_mesh(data=8), reporter=spy)
+    trainer.cur_epoch = 1
+    trainer.train(loader)
+    train_calls = [l for m, l in spy.calls if m == "train"]
+    assert train_calls, "no epoch summary reported"
+    md = train_calls[-1]["metrics"]
+    assert md is not None and set(md) == {"si_sdr", "stoi"}
+    assert all(np.isfinite(v) for v in md.values())

@@ -170,6 +170,8 @@ def _norm(x, sd, prefix, norm_type):
 
 def _lstm(x, sd, prefix, hidden, bidirectional):
     m = torch.nn.LSTM(x.shape[-1], hidden, batch_first=True, bidirectional=bidirectional)
+    if x.dtype == torch.float64:  # float64 oracle variant (flagship rawnet)
+        m = m.double()
     m.load_state_dict({k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)})
     return m(x)[0]
 
@@ -454,7 +456,7 @@ def oracle_rawnet_emb(sd, wav, rcfg: RawCfg, prefix="separation.spk_encoder."):
         sd[prefix + "conv1.filterbank.band_hz_"].numpy(),
         rcfg.sinc_kernel, rcfg.sample_rate,
     ))
-    x = torch.abs(F.conv1d(x, torch.from_numpy(filters), stride=rcfg.sinc_stride))
+    x = torch.abs(F.conv1d(x, torch.from_numpy(filters).to(x.dtype), stride=rcfg.sinc_stride))
     x = torch.log(x + 1e-6)
     x = x - torch.mean(x, dim=-1, keepdim=True)
     x1 = _t_bottle2neck(x, sd, prefix + "layer1.", rcfg, dilation=2, pool=5)

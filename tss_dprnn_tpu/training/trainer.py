@@ -247,16 +247,22 @@ class Trainer:
         self._metric_cnt = 0
         start_time = time.time()
         profile_dir = self.config.get("profile_dir") if self.cur_epoch == 1 else None
+        # loss accumulates ON DEVICE; the host syncs only at print_freq
+        # boundaries — a per-step float(loss) would serialize host-side data
+        # prep/dispatch against every device step
+        loss_sum = None
         with trace(profile_dir):
             for step, batch in enumerate(dataloader):
                 self._ensure_state(batch)
                 sharded = shard_batch(batch, self.mesh)
                 self.state, loss, aux = self._train_step(self.state, sharded)
-                total_loss += float(loss)
+                loss_sum = loss if loss_sum is None else loss_sum + loss
                 if self.is_metrics:
                     self._accumulate_metrics(batch, aux)
                 if step % self.print_freq == 0:
+                    total_loss = float(loss_sum)
                     self._log_step(step, total_loss, aux)
+        total_loss = float(loss_sum) if loss_sum is not None else 0.0
         end_time = time.time()
         return self._log_epoch(total_loss, max(num_steps, 1), start_time, end_time, "train")
 
@@ -265,13 +271,16 @@ class Trainer:
         num_steps = len(dataloader)
         total_loss = 0.0
         start_time = time.time()
+        loss_sum = None
         for step, batch in enumerate(dataloader):
             self._ensure_state(batch)
             sharded = shard_batch(batch, self.mesh)
             loss, _ = self._eval_step(self.state, sharded)
-            total_loss += float(loss)
+            loss_sum = loss if loss_sum is None else loss_sum + loss
             if step % self.print_freq == 0:
+                total_loss = float(loss_sum)
                 self._log_step(step, total_loss, {})
+        total_loss = float(loss_sum) if loss_sum is not None else 0.0
         end_time = time.time()
         return self._log_epoch(total_loss, max(num_steps, 1), start_time, end_time, "eval")
 
