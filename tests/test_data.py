@@ -123,29 +123,33 @@ def test_resample_identity():
 
 
 def test_train_loader_per_host_sharding(tmp_path):
-    """Multi-host DP input pipeline: with (process_index, process_count) the
-    hosts' index streams are disjoint, equal-length, and their union covers
-    the global batch list (SURVEY.md §5.8 per-host sharding obligation)."""
+    """Multi-host SPMD input pipeline: every host walks the SAME global batch
+    sequence in lockstep and materializes a disjoint row-slice of each global
+    batch; the slices concatenate back to the global batch exactly
+    (SURVEY.md §5.8 per-host sharding obligation)."""
     csv = make_mini_librimix(str(tmp_path), n_mix=9, min_sec=1.0, max_sec=1.2)
     ds = Librimix(csv_path=csv, segment=0.5)
     pc = 2
     loaders = [
-        TrainLoader(ds, batch_size=2, collate_fn=collate_bss, seed=7, prefetch=0,
+        TrainLoader(ds, batch_size=4, collate_fn=collate_bss, seed=7, prefetch=0,
                     process_index=pi, process_count=pc)
         for pi in range(pc)
     ]
-    global_loader = TrainLoader(ds, batch_size=2, collate_fn=collate_bss, seed=7,
+    global_loader = TrainLoader(ds, batch_size=4, collate_fn=collate_bss, seed=7,
                                 prefetch=0)
     for ld in loaders + [global_loader]:
         ld.set_epoch(3)
-    per_host = [list(ld._index_batches()) for ld in loaders]
-    # equal step counts per host (lock-step SPMD requirement)
-    assert len(per_host[0]) == len(per_host[1]) == len(loaders[0])
-    seen = [tuple(b.tolist()) for batches in per_host for b in batches]
-    assert len(seen) == len(set(seen))  # disjoint
-    global_batches = [tuple(b.tolist()) for b in global_loader._index_batches()]
-    truncated = pc * (len(global_batches) // pc)
-    assert set(seen) == set(global_batches[:truncated])  # full coverage
+    per_host = [ld._index_batches() for ld in loaders]
+    global_batches = global_loader._index_batches()
+    # lock-step: same number of steps everywhere
+    assert len(per_host[0]) == len(per_host[1]) == len(global_batches) == len(loaders[0])
+    for g, h0, h1 in zip(global_batches, *per_host):
+        assert len(h0) == len(h1) == len(g) // pc  # equal per-host rows
+        np.testing.assert_array_equal(np.concatenate([h0, h1]), g)  # exact cover
+    # global batch size must divide by the host count
+    with pytest.raises(ValueError):
+        TrainLoader(ds, batch_size=3, collate_fn=collate_bss,
+                    process_index=0, process_count=2)
 
 
 def test_train_loader_epoch_keyed_shuffle(tmp_path):

@@ -72,9 +72,14 @@ class TrainLoader:
     order of the uninterrupted run. The trainer calls ``set_epoch``; plain
     iteration without it advances an internal epoch counter.
 
-    With ``process_count > 1`` each host yields the disjoint slice
-    ``batches[process_index::process_count]`` of the (globally shuffled)
-    batch list, truncated so every host steps the same number of times.
+    Multi-host SPMD (``process_count > 1``): every host walks the SAME
+    (seed, epoch)-keyed global batch sequence in lockstep, but materializes
+    only its own row-slice ``global_batch[pi*B_loc:(pi+1)*B_loc]``
+    (B_loc = batch_size / process_count). The jitted step consumes the
+    global [batch_size, ...] array; `parallel.shard_batch` assembles it from
+    the host-local rows via ``jax.make_array_from_process_local_data``.
+    ``batch_size`` is therefore the GLOBAL batch size and must divide by
+    ``process_count``; ``len()`` is the same on every host.
     """
 
     def __init__(self, dataset, batch_size: int, collate_fn, shuffle: bool = True,
@@ -88,26 +93,29 @@ class TrainLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.process_index, self.process_count = _resolve_process(process_index, process_count)
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide by process_count "
+                f"{self.process_count} (per-host rows must be equal)")
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
 
-    def _global_len(self):
+    def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-
-    def __len__(self):
-        return self._global_len() // self.process_count
 
     def _index_batches(self) -> List[np.ndarray]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng((self.seed, self._epoch)).shuffle(idx)
-        nb = self._global_len()
+        nb = len(self)
         batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
         if self.process_count > 1:
-            batches = batches[self.process_index :: self.process_count][: len(self)]
+            b_loc = self.batch_size // self.process_count
+            lo = self.process_index * b_loc
+            batches = [b[lo : lo + b_loc] for b in batches]
         return batches
 
     def peek(self) -> Dict[str, np.ndarray]:

@@ -61,7 +61,13 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def shard_batch(batch: Any, mesh: Mesh):
     """device_put a dict/pytree of numpy batch arrays with axis-0 sharded
-    over ``data`` (scalars and rank-0 leaves replicate)."""
+    over ``data`` (scalars and rank-0 leaves replicate).
+
+    Multi-host: each host passes only its LOCAL rows (the per-host slice the
+    loader yields, SURVEY.md §5.8); ``jax.make_array_from_process_local_data``
+    assembles the global [B_global, ...] array across hosts. Single-host this
+    reduces to a plain device_put."""
+    multihost = jax.process_count() > 1
 
     def put(leaf):
         import numpy as np
@@ -69,6 +75,9 @@ def shard_batch(batch: Any, mesh: Mesh):
         arr = np.asarray(leaf)
         if arr.ndim == 0:
             return jax.device_put(arr, replicated(mesh))
-        return jax.device_put(arr, batch_sharding(mesh, arr.ndim))
+        sharding = batch_sharding(mesh, arr.ndim)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
 
     return jax.tree_util.tree_map(put, batch)
