@@ -82,3 +82,65 @@ def test_pallas_v2_matches_scan(rng, monkeypatch):
     np.testing.assert_allclose(
         np.concatenate([fwd_out, bwd_out], -1), ref, atol=2e-5, rtol=2e-5
     )
+
+
+def test_time_major_lstm_matches_batch_major(rng, monkeypatch):
+    """rnn.lstm_tm ([T, R, F] layout) must equal rnn.lstm on the transposed
+    input — forward and grads — on the pallas backend (interpret mode)."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    B, T, F, H = 3, 11, 16, 8  # T=11 also exercises the unroll-pad path
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    fwd = _weights(rng, F, H)
+    bwd = _weights(rng, F, H)
+
+    def loss_bm(x, fwd, bwd):
+        return jnp.sum(jnp.square(rnn.lstm(x, fwd, bwd)))
+
+    def loss_tm(x, fwd, bwd):
+        xk = jnp.swapaxes(x, 0, 1)
+        out = rnn.lstm_tm(xk, fwd, bwd)  # [T, B, 2H]
+        return jnp.sum(jnp.square(out))
+
+    with rnn.lstm_backend("pallas"):
+        ref = np.asarray(rnn.lstm(x, fwd, bwd))
+        got = np.asarray(jnp.swapaxes(rnn.lstm_tm(jnp.swapaxes(x, 0, 1), fwd, bwd), 0, 1))
+        np.testing.assert_array_equal(got, ref)  # same kernel, same layout math
+        g_bm = jax.grad(loss_bm, argnums=(0, 1, 2))(x, fwd, bwd)
+        g_tm = jax.grad(loss_tm, argnums=(0, 1, 2))(x, fwd, bwd)
+    for a, b in zip(jax.tree_util.tree_leaves(g_bm), jax.tree_util.tree_leaves(g_tm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_time_major_block_path_matches_batch_major(rng, monkeypatch):
+    """DPRNNCore's time-major fast path (pallas, unmasked) must reproduce the
+    batch-major pallas path exactly — forward and param grads."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    import tss_dprnn_tpu.models.dprnn as dm
+    from tss_dprnn_tpu.models.dprnn import DPRNNTasNet
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    monkeypatch.setenv("TSS_TM", "1")  # the tm path is opt-in (slower on TPU)
+    m = DPRNNTasNet(input_size=12, feature_size=8, hidden_size=6, chunk_length=10,
+                    kernel_size=2, n_repeats=1, norm_type="ln", remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 160))
+    params = m.init(jax.random.PRNGKey(1), x)
+
+    def loss(p):
+        return jnp.sum(jnp.square(m.apply(p, x)))
+
+    with rnn.lstm_backend("pallas"):
+        out_tm = np.asarray(m.apply(params, x))
+        g_tm = jax.grad(loss)(params)
+    # disable the tm dispatch -> batch-major pallas path
+    monkeypatch.setattr(dm.rnn_ops, "lstm_time_major_available", lambda *a, **k: False)
+    with rnn.lstm_backend("pallas"):
+        out_bm = np.asarray(m.apply(params, x))
+        g_bm = jax.grad(loss)(params)
+    np.testing.assert_allclose(out_tm, out_bm, atol=1e-6, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_tm), jax.tree_util.tree_leaves(g_bm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from tss_dprnn_tpu.models.layers import GlobalNorm, PReLU, RNNCore, make_dense, torch_uniform_init
 from tss_dprnn_tpu.ops import chunking
+from tss_dprnn_tpu.ops import rnn as rnn_ops
 from tss_dprnn_tpu.ops.conv import conv1d, conv_transpose1d
 
 
@@ -50,9 +51,17 @@ class DPRNNBlock(nn.Module):
     bidirectional: bool = True
     rnn_type: str = "LSTM"
     dtype: Any = None
+    # time-major fast path: the block's tensors live in the pallas kernels'
+    # own [time, rows, N] layout, so no transposes surround the scans (the
+    # batch-major path spends ~20% of flagship inference on them — profiled).
+    # Only the layout differs; params and math are identical. Valid only for
+    # unmasked bidirectional-LSTM runs (DPRNNCore gates the switch).
+    time_major: bool = False
 
     @nn.compact
     def __call__(self, x, chunk_lengths=None):
+        if self.time_major:
+            return self._tm_call(x)
         B, S, K, N = x.shape
         chunk_mask = None
         if chunk_lengths is not None:
@@ -80,6 +89,35 @@ class DPRNNBlock(nn.Module):
         h = jnp.transpose(h.reshape(B, K, S, N), (0, 2, 1, 3))
         h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="inter_norm")(h, chunk_mask)
         return x + h
+
+    def _tm_call(self, x):
+        """Time-major body: x [K, B, S, N] -> [K, B, S, N]. Same submodules
+        (identical param tree), but each scan consumes/produces the kernel
+        layout directly; the only relayouts are the two intrinsic K<->S
+        transposes per block."""
+        K, B, S, N = x.shape
+
+        # intra-chunk pass: time K, rows B*S
+        h = x.reshape(K, B * S, N)
+        h = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(
+            h, time_major=True
+        )
+        h = make_dense(N, name="intra_linear", dtype=self.dtype)(h)
+        h = h.reshape(K, B, S, N)
+        h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="intra_norm")(h, batch_axis=1)
+        x = x + h
+
+        # inter-chunk pass: time S, rows B*K
+        x = jnp.transpose(x, (2, 1, 0, 3))  # [S, B, K, N]
+        h = x.reshape(S, B * K, N)
+        h = RNNCore(self.hidden_size, self.bidirectional, self.rnn_type, self.dtype, name="inter_rnn")(
+            h, time_major=True
+        )
+        h = make_dense(N, name="inter_linear", dtype=self.dtype)(h)
+        h = h.reshape(S, B, K, N)
+        h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="inter_norm")(h, batch_axis=1)
+        x = x + h
+        return jnp.transpose(x, (2, 1, 0, 3))  # back to [K, B, S, N]
 
 
 class DPRNNCore(nn.Module):
@@ -120,6 +158,16 @@ class DPRNNCore(nn.Module):
             h = h.astype(self.dtype)
         h = chunking.segment_cl(h, K, H)  # [B, S, K, F]
         S = h.shape[1]
+        # time-major fast path (see DPRNNBlock.time_major): only for unmasked
+        # bidirectional-LSTM runs on the fused pallas backend
+        use_tm = (
+            chunk_lengths is None
+            and self.rnn_type == "LSTM"
+            and self.bidirectional
+            and rnn_ops.lstm_time_major_available(True, None)
+        )
+        if use_tm:
+            h = jnp.transpose(h, (2, 0, 1, 3))  # [K, B, S, F]
         block_cls = nn.remat(DPRNNBlock) if self.remat else DPRNNBlock
         for i in range(self.n_repeats):
             h = block_cls(
@@ -129,8 +177,11 @@ class DPRNNCore(nn.Module):
                 bidirectional=self.bidirectional,
                 rnn_type=self.rnn_type,
                 dtype=self.dtype,
+                time_major=use_tm,
                 name=f"blocks_{i}",
             )(h, chunk_lengths)
+        if use_tm:
+            h = jnp.transpose(h, (1, 2, 0, 3))  # back to [B, S, K, F]
         h = PReLU(name="prelu")(h)
         h = make_dense(2 * F, name="mask_dense", dtype=self.dtype)(h)  # reference conv2d 1x1 -> 2F
         # split the 2F channels into the two sources: torch's

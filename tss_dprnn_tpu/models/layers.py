@@ -52,7 +52,7 @@ class RNNCore(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, lengths=None):
+    def __call__(self, x, lengths=None, time_major: bool = False):
         F = x.shape[-1]
         H = self.hidden_size
         u_f, u_h = torch_uniform_init(H), torch_uniform_init(H)
@@ -80,6 +80,11 @@ class RNNCore(nn.Module):
             bwd = jax.tree.map(lambda a: a.astype(self.dtype), bwd) if bwd else None
         if self.rnn_type == "LSTM":
             to_lstm = lambda w: rnn_ops.LSTMWeights(w[0], w[1], w[2] + w[3])
+            if time_major:
+                # x is [T, R, F]; only valid on the fused bidirectional
+                # pallas path (caller gates on lstm_time_major_available)
+                assert bwd is not None and lengths is None
+                return rnn_ops.lstm_tm(x, to_lstm(fwd), to_lstm(bwd))
             return rnn_ops.lstm(x, to_lstm(fwd), to_lstm(bwd) if bwd else None, lengths)
         if self.rnn_type == "GRU":
             return rnn_ops.gru(x, fwd, bwd, lengths)
@@ -101,12 +106,12 @@ class GlobalNorm(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, batch_axis: int = 0):
         gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
         beta = self.param("beta", nn.initializers.zeros, (self.channels,))
         eps = norms_ops.GLOBLN_EPS if self.norm_type == "gLN" else norms_ops.GROUPNORM_EPS
         out = norms_ops.global_channel_norm_cl(
-            x.astype(jnp.float32), gamma, beta, eps=eps, mask=mask
+            x.astype(jnp.float32), gamma, beta, eps=eps, mask=mask, batch_axis=batch_axis
         )
         return out.astype(self.dtype or x.dtype)
 

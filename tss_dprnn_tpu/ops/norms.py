@@ -74,14 +74,15 @@ def chan_ln(x, gamma, beta, mask=None):
     return global_channel_norm(x, gamma, beta, eps=GROUPNORM_EPS, mask=mask)
 
 
-def global_channel_norm_cl(x, gamma, beta, eps: float, mask=None):
+def global_channel_norm_cl(x, gamma, beta, eps: float, mask=None, batch_axis: int = 0):
     """Channels-LAST global LN: x [B, *spatial, C], affine on the last axis.
 
     Same statistics as :func:`global_channel_norm` (mean/var over everything
     but batch); this is the layout the model core uses so the affine rides the
-    128-lane dimension.
+    128-lane dimension. ``batch_axis`` lets time-major callers ([T, B, *, C])
+    keep per-example statistics without transposing first.
     """
-    axes = tuple(range(1, x.ndim))
+    axes = tuple(i for i in range(x.ndim) if i != batch_axis)
     out = z_norm(x, axes, eps=eps, mask=mask)
     out = gamma.astype(x.dtype) * out + beta.astype(x.dtype)
     if mask is not None:

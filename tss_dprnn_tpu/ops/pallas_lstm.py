@@ -752,15 +752,27 @@ def _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
                   want_resid: bool):
     """x [B, T, F] -> (o0, o1) [Tp, Rp, H] (+ xk and 6 resid streams when
     want_resid). o1 is already in forward time."""
-    B, T, F = x.shape
+    xk = jnp.swapaxes(x, 0, 1)  # [T, B, F]
+    return _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile, unroll, want_resid)
+
+
+def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
+                     want_resid: bool):
+    """Time-major core: xk [T, R, F] -> (o0, o1) [Tp, Rp, H] (+ xk and 6
+    resid streams when want_resid). o1 is already in forward time."""
+    T, B, F = xk.shape
     H = w_hh2.shape[1]
     u = _pick_unroll(T, unroll)
     Tp = T
-    if u == 1 and unroll > 1:
+    if u < unroll:
+        # no (large-enough) divisor: pad time up to a full-unroll multiple
+        # rather than degrading the unroll factor — the kernel masks the pad
+        # sub-steps on both passes. Flagship inter scans (T=642) ran at u=2
+        # before; padding to 645/u=5 measures ~3% faster (34.7 -> 33.6 ms at
+        # rows=8000).
         u = unroll
         Tp = _round_up(T, u)
     pad = Tp - T
-    xk = jnp.swapaxes(x, 0, 1)  # [T, B, F]
     if pad:
         xk = jnp.pad(xk, ((0, pad), (0, 0), (0, 0)))
     Rp = _round_up(max(B, 8), 8)
@@ -831,6 +843,38 @@ def bilstm2_forward_resid(x, w_ih2, b2, w_hh2):
         x, w_ih2, b2, w_hh2, _RESID_ROW_TILE, 5, True)
     outs = (jnp.swapaxes(o0[:T, :B], 0, 1), jnp.swapaxes(o1[:T, :B], 0, 1))
     return outs, (xk, hp0, cp0, tc0, hp1, cp1, tc1)
+
+
+# ---------------------------------------------------------------------------
+# Time-major entries: the DPRNN block's fast path keeps its tensors in the
+# kernels' own [T, rows, F] layout, so the host-side swapaxes around every
+# scan (profiled at ~20% of flagship inference: 12 copies + 13 pad fusions
+# ~8 ms each per call at B=32x10 s) never exist. Same kernels, same grids —
+# only the public layout differs.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def bilstm2_forward_tm(x, w_ih2, b2, w_hh2, row_tile: int = 512, unroll: int = 5):
+    """Inference, time-major: x [T, R, F] -> (out0, out1) each [T, R, H],
+    both in forward time."""
+    T, R, _ = x.shape
+    o0, o1 = _bilstm2_core_tm(x, w_ih2, b2, w_hh2, row_tile, unroll, False)
+    if o0.shape[0] != T or o0.shape[1] != R:
+        o0, o1 = o0[:T, :R], o1[:T, :R]
+    return o0, o1
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bilstm2_forward_resid_tm(x, w_ih2, b2, w_hh2):
+    """Training forward, time-major: x [T, R, F] -> ((o0, o1) [T, R, H],
+    padded kernel-layout residuals)."""
+    T, R, _ = x.shape
+    o0, o1, hp0, cp0, tc0, hp1, cp1, tc1, xk = _bilstm2_core_tm(
+        x, w_ih2, b2, w_hh2, _RESID_ROW_TILE, 5, True)
+    if o0.shape[0] != T or o0.shape[1] != R:
+        o0, o1 = o0[:T, :R], o1[:T, :R]
+    return (o0, o1), (xk, hp0, cp0, tc0, hp1, cp1, tc1)
 
 
 def _bilstm2_bwd_kernel(x0_ref, x1_ref, hp0_ref, cp0_ref, tc0_ref, g0_ref,
@@ -951,21 +995,34 @@ def bilstm2_backward(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0, g1,
                      w_ih2, b2, w_hh2):
     """g0/g1 [B, T, H] (forward time) -> (dx [B, T, F], dw_ih2 [2, F, 4H],
     db2 [2, 4H], dw_hh2 [2, H, 4H])."""
+    B, T = g0.shape[0], g0.shape[1]
+    g0k = jnp.swapaxes(g0, 0, 1)
+    g1k = jnp.swapaxes(g1, 0, 1)
+    dx, dw_ih2, db2, dw_hh2 = bilstm2_backward_tm(
+        xk, hp0, cp0, tc0, hp1, cp1, tc1, g0k, g1k, w_ih2, b2, w_hh2,
+        T=T, R=B)
+    return jnp.swapaxes(dx, 0, 1), dw_ih2, db2, dw_hh2
+
+
+@functools.partial(jax.jit, static_argnames=("T", "R"))
+def bilstm2_backward_tm(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0k, g1k,
+                        w_ih2, b2, w_hh2, T: int, R: int):
+    """Time-major backward: g0k/g1k [T, R, H] (forward time) ->
+    (dx [T, R, F], dw_ih2 [2, F, 4H], db2 [2, 4H], dw_hh2 [2, H, 4H])."""
     Tp, Rp, F = xk.shape
     H = w_hh2.shape[1]
-    B, T = g0.shape[0], g0.shape[1]
+    B = R
     f32 = jnp.float32
     u = _pick_unroll(Tp, 5)
     pad = Tp - T
 
-    def prep_g(g):
-        gk = jnp.swapaxes(g, 0, 1)  # [T, B, H]
+    def prep_g(gk):
         if Tp != T or Rp != B:
             gk = jnp.pad(gk, ((0, Tp - T), (0, Rp - B), (0, 0)))
         return gk
 
-    g0k = prep_g(g0)
-    g1k = prep_g(g1)
+    g0k = prep_g(g0k)
+    g1k = prep_g(g1k)
     # 128-row tiles: this kernel streams 12 double-buffered block operands
     # (2x x, 2x3 resid, 2 g, 2 dx) — 256-row tiles overflow the 16 MB VMEM
     # scoped limit in fp32 (measured: 16.5 MB)
@@ -1028,7 +1085,7 @@ def bilstm2_backward(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0, g1,
     )(xk, xk, hp0, cp0, tc0, g0k, hp1, cp1, tc1, g1k, w_ih2, w_hh2,
       b2[:, None, :])
     dx0, dx1, dwih0, dwhh0, db0, dwih1, dwhh1, db1 = outs
-    dx = jnp.swapaxes((dx0 + dx1)[:T, :B], 0, 1)  # [B, T, F]
+    dx = (dx0 + dx1)[:T, :B]  # [T, R, F]
     dw_ih2 = jnp.stack([jnp.sum(dwih0, 0), jnp.sum(dwih1, 0)])
     dw_hh2 = jnp.stack([jnp.sum(dwhh0, 0), jnp.sum(dwhh1, 0)])
     db2 = jnp.stack([jnp.sum(db0, (0, 1)), jnp.sum(db1, (0, 1))])

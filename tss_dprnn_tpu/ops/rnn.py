@@ -368,6 +368,79 @@ def _recurrence3_vjp_bwd(res, g):
 _recurrence3.defvjp(_recurrence3_vjp_fwd, _recurrence3_vjp_bwd)
 
 
+@jax.custom_vjp
+def _recurrence3_tm(x, w_ih2, b2, w_hh2):
+    """Time-major no-stack bidirectional pallas path: x [T, R, F] ->
+    (out_f, out_b) each [T, R, H], both in forward time. The caller keeps its
+    tensors in the kernel's own layout, so no transposes surround the scan
+    (the batch-major `_recurrence3` spends ~20% of flagship inference on
+    them — profiled)."""
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_forward_tm
+
+    return bilstm2_forward_tm(x, w_ih2, b2, w_hh2)
+
+
+def _recurrence3_tm_vjp_fwd(x, w_ih2, b2, w_hh2):
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_forward_resid_tm
+
+    outs, resid = bilstm2_forward_resid_tm(x, w_ih2, b2, w_hh2)
+    return outs, (*resid, x.shape[0], x.shape[1], w_ih2, b2, w_hh2)
+
+
+def _recurrence3_tm_vjp_bwd(res, g):
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_backward_tm
+
+    xk, hp0, cp0, tc0, hp1, cp1, tc1, T, R, w_ih2, b2, w_hh2 = res
+    g0, g1 = g
+    dx, dw_ih2, db2, dw_hh2 = bilstm2_backward_tm(
+        xk, hp0, cp0, tc0, hp1, cp1, tc1, g0, g1, w_ih2, b2, w_hh2, T=T, R=R
+    )
+    return (
+        dx.astype(xk.dtype),
+        dw_ih2.astype(w_ih2.dtype),
+        db2.astype(b2.dtype),
+        dw_hh2.astype(w_hh2.dtype),
+    )
+
+
+_recurrence3_tm.defvjp(_recurrence3_tm_vjp_fwd, _recurrence3_tm_vjp_bwd)
+
+
+def lstm_time_major_available(bidirectional: bool, lengths) -> bool:
+    """True when the time-major fused path applies: full-length bidirectional
+    LSTM on the pallas backend without segment checkpointing.
+
+    OPT-IN (``TSS_TM=1``): measured at the flagship shapes, keeping the DPRNN
+    block's tensors in the kernels' [T, rows, F] layout is a NET LOSS on
+    TPU — 298x vs 311x realtime at B=8, and OOM (22.4 GB) at B=32 where the
+    batch-major path fits: XLA inserts layout-conversion copies around the
+    pallas calls (minor-to-major {2,0,1} vs {2,1,0}) and extends live ranges
+    across the explicit 4D transposes, costing more than the swapaxes pairs
+    it removes. Kept behind the flag as tested infrastructure for future
+    layout experiments; see ROUND_NOTES.md."""
+    import os
+
+    return (
+        bidirectional
+        and lengths is None
+        and _LSTM_BACKEND.get() == "pallas"
+        and _LSTM_SAVE_EVERY.get() <= 1
+        and bool(os.environ.get("TSS_TM"))
+    )
+
+
+def lstm_tm(x, fwd: LSTMWeights, bwd: LSTMWeights):
+    """Bidirectional LSTM over time-major [T, R, F] -> [T, R, 2H], zero
+    initial state, full-length reversal (lengths=None semantics). Only valid
+    when :func:`lstm_time_major_available` — callers fall back to :func:`lstm`
+    otherwise."""
+    w_ih2 = jnp.stack([fwd.w_ih, bwd.w_ih]).astype(x.dtype)
+    b2 = jnp.stack([fwd.b, bwd.b])
+    w_hh2 = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(x.dtype)
+    out_f, out_b = _recurrence3_tm(x, w_ih2, b2, w_hh2)
+    return jnp.concatenate([out_f, out_b], axis=-1)  # [T, R, 2H]
+
+
 def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     """(Bi)LSTM over [B, T, F] -> [B, T, H * ndir], zero initial state.
 
