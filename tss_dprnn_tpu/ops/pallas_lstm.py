@@ -110,7 +110,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_unroll(T: int, unroll: int) -> int:
-    for u in (unroll, 5, 4, 2, 1):
+    # an EXACT divisor always beats padding T up to an unroll multiple: the
+    # pad materializes a full extra pass over the (GB-scale) input, while
+    # unroll depth >=2 already hides the recurrent-matmul latency (measured
+    # at the flagship inter shape: T=642 u=3 exact 22.4 ms vs u=5 padded to
+    # 645 *in-jit* 34.5 ms vs pre-padded 645 u=5 21.9 ms)
+    for u in (unroll, 5, 4, 3, 2, 1):
         if u <= unroll and T % u == 0:
             return u
     return 1
@@ -664,7 +669,7 @@ def lstm_backward(xk, hp, cp, tc, g_hs, w_ih, b, w_hh, unroll: int = 5):
 
 def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
                     hidden: int, unroll: int, n_t: int, pad: int,
-                    want_resid: bool):
+                    want_resid: bool, cell_dtype=jnp.float32):
     """Grid (r_tiles, n_t). x0/x1: (u, tile, F) blocks of the SAME array at
     block t and n_t-1-t. Outputs per dir: h [Tp, Rp, H] (+ resid streams
     hp/cp/tc per dir when want_resid). Dir-1 sub-steps run mirrored, so its
@@ -678,6 +683,12 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
     t = pl.program_id(1)
     H = hidden
     f32 = jnp.float32
+    # cell_dtype: ablation hook (scripts/perf/bf16_cell_probe.py). bf16
+    # cell math measured NEGATIVE on v5e: 39.5 vs 33.0 ms at the flagship
+    # intra shape and -10 dB fidelity — Mosaic does not 2x-pack the bf16
+    # elementwise stream here, and the f32->bf16 gate cast (the MXU acc must
+    # stay 32-bit) adds a pass. Production stays f32.
+    cdt = cell_dtype
 
     @pl.when(t == 0)
     def _():
@@ -695,7 +706,7 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
         x_t = x0_ref[u, :, :]
         g = jnp.dot(x_t, wih_ref[0], preferred_element_type=f32)
         g = g + jnp.dot(h0.astype(x_t.dtype), whh_ref[0], preferred_element_type=f32)
-        g = g + b_ref[0, 0].astype(f32)
+        g = (g + b_ref[0, 0].astype(f32)).astype(cdt)
         i = _sigmoid(g[:, :H])
         f = _sigmoid(g[:, H : 2 * H])
         gg = jnp.tanh(g[:, 2 * H : 3 * H])
@@ -715,7 +726,7 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
         x_t = x1_ref[u1, :, :]
         g = jnp.dot(x_t, wih_ref[1], preferred_element_type=f32)
         g = g + jnp.dot(h1.astype(x_t.dtype), whh_ref[1], preferred_element_type=f32)
-        g = g + b_ref[1, 0].astype(f32)
+        g = (g + b_ref[1, 0].astype(f32)).astype(cdt)
         i = _sigmoid(g[:, :H])
         f = _sigmoid(g[:, H : 2 * H])
         gg = jnp.tanh(g[:, 2 * H : 3 * H])
@@ -749,27 +760,26 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
 
 
 def _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
-                  want_resid: bool):
+                  want_resid: bool, cell_dtype=jnp.float32):
     """x [B, T, F] -> (o0, o1) [Tp, Rp, H] (+ xk and 6 resid streams when
     want_resid). o1 is already in forward time."""
     xk = jnp.swapaxes(x, 0, 1)  # [T, B, F]
-    return _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile, unroll, want_resid)
+    return _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile, unroll, want_resid,
+                            cell_dtype=cell_dtype)
 
 
 def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
-                     want_resid: bool):
+                     want_resid: bool, cell_dtype=jnp.float32):
     """Time-major core: xk [T, R, F] -> (o0, o1) [Tp, Rp, H] (+ xk and 6
     resid streams when want_resid). o1 is already in forward time."""
     T, B, F = xk.shape
     H = w_hh2.shape[1]
     u = _pick_unroll(T, unroll)
     Tp = T
-    if u < unroll:
-        # no (large-enough) divisor: pad time up to a full-unroll multiple
-        # rather than degrading the unroll factor — the kernel masks the pad
-        # sub-steps on both passes. Flagship inter scans (T=642) ran at u=2
-        # before; padding to 645/u=5 measures ~3% faster (34.7 -> 33.6 ms at
-        # rows=8000).
+    if u == 1 and unroll > 1:
+        # indivisible T only: pad time to a full-unroll multiple (the kernel
+        # masks pad sub-steps on both passes). Divisible T never pads — see
+        # _pick_unroll.
         u = unroll
         Tp = _round_up(T, u)
     pad = Tp - T
@@ -777,6 +787,16 @@ def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
         xk = jnp.pad(xk, ((0, pad), (0, 0), (0, 0)))
     Rp = _round_up(max(B, 8), 8)
     tile = min(row_tile, Rp)
+    if not want_resid and Rp % tile:
+        # prefer an exact-divisor tile over padding rows up to a tile
+        # multiple: the row pad forces a full extra pass over the (GB-scale)
+        # input and output. Measured at the flagship intra shape
+        # (rows=20544): tile 192 exact = 21.3 ms vs tile 512 padded =
+        # 33.1 ms. Floor at 96 rows — below that grid overhead wins.
+        for cand in range(tile - tile % 8, 95, -8):
+            if Rp % cand == 0:
+                tile = cand
+                break
     Rp = _round_up(Rp, tile)
     if Rp != B:
         xk = jnp.pad(xk, ((0, 0), (0, Rp - B), (0, 0)))
@@ -801,11 +821,11 @@ def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
     if want_resid:
         out_specs += [sblk, sblk, sblk, sblk_m, sblk_m, sblk_m]
         out_shape += [sshape] * 6
-    scratch = [pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), jnp.float32),
-               pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), jnp.float32)]
+    scratch = [pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), cell_dtype),
+               pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), cell_dtype)]
     out = pl.pallas_call(
         functools.partial(_bilstm2_kernel, hidden=H, unroll=u, n_t=n_t,
-                          pad=pad, want_resid=want_resid),
+                          pad=pad, want_resid=want_resid, cell_dtype=cell_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((u, tile, F), fmap),
@@ -823,15 +843,17 @@ def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
-def bilstm2_forward(x, w_ih2, b2, w_hh2, row_tile: int = 512, unroll: int = 5):
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll", "cell_dtype"))
+def bilstm2_forward(x, w_ih2, b2, w_hh2, row_tile: int = 512, unroll: int = 5,
+                    cell_dtype=jnp.float32):
     # row_tile 512 (not the single-direction kernels' 1024): this kernel
     # streams both directions' x and out blocks at once — 1024-row tiles
     # exceed the 16 MB scoped-VMEM limit (measured 17.1 MB bf16)
     """Inference: x [B, T, F] -> (out0, out1) each [B, T, H], BOTH in forward
     time (no input stack/flip, no output flip)."""
     B, T, _ = x.shape
-    o0, o1 = _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile, unroll, False)
+    o0, o1 = _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile, unroll, False,
+                           cell_dtype=jnp.dtype(cell_dtype).type)
     return (jnp.swapaxes(o0[:T, :B], 0, 1), jnp.swapaxes(o1[:T, :B], 0, 1))
 
 
