@@ -144,3 +144,30 @@ def test_time_major_block_path_matches_batch_major(rng, monkeypatch):
     np.testing.assert_allclose(out_tm, out_bm, atol=1e-6, rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g_tm), jax.tree_util.tree_leaves(g_bm)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_bilstm2_exact_divisor_tile(rng, monkeypatch):
+    """bilstm2's inference path picks an exact-divisor row tile (>=96)
+    instead of padding rows to a row_tile multiple; with an indivisible T it
+    also pads time to the unroll multiple. Both shape paths must reproduce
+    the lax.scan reference."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    from tss_dprnn_tpu.ops import pallas_lstm as pk
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    F = H = 16
+    fwd = _weights(rng, F, H)
+    bwd = _weights(rng, F, H)
+    wi = np.stack([fwd.w_ih, bwd.w_ih])
+    wh = np.stack([fwd.w_hh, bwd.w_hh])
+    b = np.stack([fwd.b, bwd.b])
+    # B=192 with row_tile=128: 192 % 128 != 0 -> divisor search lands on 96
+    # (no row padding); T=11 additionally exercises the time-pad masking
+    for T in (10, 11):
+        x = rng.standard_normal((192, T, F)).astype(np.float32)
+        ref = np.asarray(rnn.lstm(x, fwd, bwd))
+        o0, o1 = pk.bilstm2_forward(x, wi, b, wh, row_tile=128)
+        got = np.concatenate([np.asarray(o0), np.asarray(o1)], -1)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
