@@ -5,8 +5,11 @@ For each variant, measures jitted batched inference throughput in separated
 audio-seconds per wall-clock second per chip (same metric as bench.py, target
 >=50x realtime) on 10-second 8 kHz utterances, on the fast path
 (bf16 + fused Pallas LSTM scans; RawNet keeps its sinc front-end in fp32).
-``--parity`` instead benches the fp32 XLA parity path. ``--variant NAME``
-restricts the sweep.
+``--parity`` instead benches the fp32 XLA parity path (the numerical
+reference: the exact graph the torch-oracle parity tests run). ``--f32``
+benches fp32 + Pallas — full-precision serving without the XLA path's
+hoisted [T', 2, rows, 4H] input projection, so the batch is not capped at 8.
+``--variant NAME`` restricts the sweep.
 
 Prints one JSON line per variant and writes/updates the BENCH_ALL.md table.
 """
@@ -34,7 +37,7 @@ BSS = {k: FLAGSHIP[k] for k in (
 SPE_FUSIONS = ("add", "att", "cat", "mul", "film")
 
 
-def build(variant: str, fast: bool):
+def build(variant: str, bf16: bool):
     import jax.numpy as jnp
 
     from tss_dprnn_tpu.models import (
@@ -44,7 +47,7 @@ def build(variant: str, fast: bool):
         DPRNNTasNet,
     )
 
-    dtype = jnp.bfloat16 if fast else None
+    dtype = jnp.bfloat16 if bf16 else None
     if variant == "bss":
         return DPRNNTasNet(**BSS, dtype=dtype), "bss"
     if variant.startswith("spe_"):
@@ -63,14 +66,21 @@ def build(variant: str, fast: bool):
     raise SystemExit(f"unknown variant {variant!r}")
 
 
-def bench_variant(variant: str, fast: bool, batch: int) -> dict:
+PATHS = {
+    "fast": ("fast(bf16+pallas)", True, "pallas"),
+    "parity": ("parity(fp32+xla)", False, "xla"),
+    "f32": ("f32(fp32+pallas)", False, "pallas"),
+}
+
+
+def bench_variant(variant: str, path: str, batch: int) -> dict:
     import jax
     import jax.numpy as jnp  # noqa: F401
 
     from tss_dprnn_tpu.ops import rnn as rnn_ops
 
-    model, kind = build(variant, fast)
-    backend = "pallas" if fast else "xla"
+    label, bf16, backend = PATHS[path]
+    model, kind = build(variant, bf16)
     B, T = batch, int(SECS * SR)
     rng = np.random.default_rng(0)
     mix = rng.standard_normal((B, T)).astype(np.float32)
@@ -105,7 +115,7 @@ def bench_variant(variant: str, fast: bool, batch: int) -> dict:
     realtime = iters * B * SECS / dt
     return {
         "variant": variant,
-        "path": "fast(bf16+pallas)" if fast else "parity(fp32+xla)",
+        "path": label,
         "batch": B,
         "metric": "separated_audio_sec_per_sec_per_chip",
         "value": round(realtime, 2),
@@ -118,7 +128,7 @@ VARIANTS = ["bss"] + [f"spe_{f}" for f in SPE_FUSIONS] + ["ira", "rawnet"]
 
 
 def main():
-    fast = "--parity" not in sys.argv
+    path = "parity" if "--parity" in sys.argv else ("f32" if "--f32" in sys.argv else "fast")
     only = sys.argv[sys.argv.index("--variant") + 1] if "--variant" in sys.argv else None
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 32
     rows = []
@@ -128,25 +138,29 @@ def main():
         # IRA runs two full DPRNN passes; RawNet adds the 16 kHz sinc branch —
         # smaller batches keep HBM in bounds at 10 s utterances
         b = {"ira": max(batch // 2, 1), "rawnet": max(batch // 4, 1)}.get(v, batch)
-        if not fast:
+        if path == "parity":
             # fp32 XLA path precomputes the scans' input projections
             # ([T', 2, rows, 4H] fp32 ~ 0.65 GB per batch element at 10 s):
             # B=32 wants 21 GB > 16 GB HBM
             b = min(b, 8)
-        row = bench_variant(v, fast, b)
+        elif path == "f32":
+            # fp32 pallas streams the projection inside the kernel; HBM holds
+            # the fp32 activations fine at B=16 (B=32 10 s is marginal)
+            b = min(b, 16)
+        row = bench_variant(v, path, b)
         rows.append(row)
         print(json.dumps(row), flush=True)
     if not only and rows:
-        write_table(rows, fast)
+        write_table(rows, PATHS[path][0])
 
 
-def write_table(rows, fast):
+def write_table(rows, label):
     import os
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ALL.md")
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     lines = [
-        f"\n## {'fast path' if fast else 'fp32 parity path'} — {stamp}\n",
+        f"\n## {label} — {stamp}\n",
         "| variant | batch | audio-sec/sec/chip | x realtime vs 50x target |",
         "|---|---|---|---|",
     ]

@@ -28,7 +28,18 @@ def f16(mix, aux, ln):
     with rnn_ops.lstm_backend("pallas"):
         return m16.apply(variables, mix, aux, ln)[0]
 
-a = np.asarray(f32(mix, aux, ln), np.float64)
-b = np.asarray(f16(mix, aux, ln), np.float64)
-snr = 10 * np.log10(np.sum(a**2) / max(np.sum((a - b) ** 2), 1e-30))
-print(f"fast-path output SNR vs fp32 graph: {snr:.1f} dB", flush=True)
+@jax.jit
+def f32p(mix, aux, ln):
+    # fp32 + pallas: full-precision serving lane (bench_all --f32) — same
+    # math as the XLA graph modulo add-association inside the fused cell
+    with rnn_ops.lstm_backend("pallas"):
+        return m32.apply(variables, mix, aux, ln)[0]
+
+def snr_db(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return 10 * np.log10(np.sum(a**2) / max(np.sum((a - b) ** 2), 1e-30))
+
+a = f32(mix, aux, ln)
+print(f"fast-path output SNR vs fp32 graph: {snr_db(a, f16(mix, aux, ln)):.1f} dB", flush=True)
+print(f"f32+pallas output SNR vs fp32 graph: {snr_db(a, f32p(mix, aux, ln)):.1f} dB", flush=True)
