@@ -26,6 +26,7 @@ from __graft_entry__ import FLAGSHIP
 
 SR = 8000
 SECS = 10.0
+TRAIN_SECS = 3.0
 
 # backbone-only hparams for the BSS variant (reference config_bss.yaml —
 # same DPRNN trunk, no speaker branch)
@@ -37,7 +38,7 @@ BSS = {k: FLAGSHIP[k] for k in (
 SPE_FUSIONS = ("add", "att", "cat", "mul", "film")
 
 
-def build(variant: str, bf16: bool):
+def build(variant: str, bf16: bool, **extra):
     import jax.numpy as jnp
 
     from tss_dprnn_tpu.models import (
@@ -49,12 +50,13 @@ def build(variant: str, bf16: bool):
 
     dtype = jnp.bfloat16 if bf16 else None
     if variant == "bss":
-        return DPRNNTasNet(**BSS, dtype=dtype), "bss"
+        return DPRNNTasNet(**BSS, dtype=dtype, **extra), "bss"
     if variant.startswith("spe_"):
         fusion = variant.split("_", 1)[1]
-        return DPRNNSpeTasNet(**{**FLAGSHIP, "fusion_type": fusion}, dtype=dtype), "spe"
+        return (DPRNNSpeTasNet(**{**FLAGSHIP, "fusion_type": fusion}, dtype=dtype,
+                               **extra), "spe")
     if variant == "ira":
-        return DPRNNSpeIRATasNet(**FLAGSHIP, dtype=dtype), "spe"
+        return DPRNNSpeIRATasNet(**FLAGSHIP, dtype=dtype, **extra), "spe"
     if variant == "rawnet":
         # RawNet3 speaker branch: 16 kHz raw-wave sinc front-end; embeddings 256
         # (reference config: embeddings_size 256 for dprnn_rawnet_tasnet). The
@@ -62,7 +64,8 @@ def build(variant: str, bf16: bool):
         # DPRNN trunk still uses the fast LSTM path.
         kw = {**FLAGSHIP, "embeddings_size": 256}
         kw.pop("fusion_type", None)
-        return DPRNNRawNetTasNet(**kw, fusion_type="att", dtype=dtype), "rawnet"
+        return (DPRNNRawNetTasNet(**kw, fusion_type="att", dtype=dtype, **extra),
+                "rawnet")
     raise SystemExit(f"unknown variant {variant!r}")
 
 
@@ -124,16 +127,86 @@ def bench_variant(variant: str, path: str, batch: int) -> dict:
     }
 
 
+def bench_train_variant(variant: str, path: str, batch: int) -> dict:
+    """One full jitted train step (loss + grads + clip + Adam) at the
+    reference's training shape (3 s crops), fast path remat=False (the fused
+    Pallas backward's residuals fit without it — README training section)."""
+    import time as _time
+
+    import jax  # noqa: F401
+    import numpy as np
+
+    from tss_dprnn_tpu.training import Trainer, TrainerRawNet, TrainerSpe
+
+    label, bf16, backend = PATHS[path]
+    model, kind = build(variant, bf16, remat=not (bf16 and backend == "pallas"))
+    B, T = batch, int(TRAIN_SECS * SR)  # 3 s @ 8 kHz, the reference's crop
+    rng = np.random.default_rng(0)
+    batch_d = {"mix": rng.standard_normal((B, T)).astype(np.float32)}
+    config = {
+        "optimizer": {"lr": 5e-4, "weight_decay": 1e-5},
+        "lr_scheduler": {"patience": 2, "factor": 0.5},
+        "clip_norm": 5, "ce_gamma": 0.5, "lstm_backend": backend,
+        "new_checkpoints_path": "/tmp/bench_all_chkpts",
+        "data": {"sample_rate": 8000},
+    }
+    if not bf16 and backend == "xla":
+        # fp32 XLA full-batch needs the segment-checkpointed residuals
+        config["lstm_save_every"] = 10
+    if kind == "bss":
+        batch_d["sources"] = rng.standard_normal((B, 2, T)).astype(np.float32)
+        trainer = Trainer(model, config)
+    else:
+        Ta = 2 * T if kind == "rawnet" else T
+        batch_d.update(
+            target=rng.standard_normal((B, T)).astype(np.float32),
+            reference=rng.standard_normal((B, Ta)).astype(np.float32),
+            ref_len=np.full((B,), float(Ta), np.float32),
+            spk_idx=np.arange(B, dtype=np.int32) % FLAGSHIP["num_spks"],
+        )
+        trainer = (TrainerRawNet if kind == "rawnet" else TrainerSpe)(model, config)
+    trainer._ensure_state(batch_d)
+    from tss_dprnn_tpu.parallel import shard_batch
+
+    sharded = shard_batch(batch_d, trainer.mesh)
+    state = trainer.state
+    for _ in range(2):  # compile + warm
+        state, loss, aux = trainer._train_step(state, sharded)
+    _ = float(loss)
+    iters = 10
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        state, loss, aux = trainer._train_step(state, sharded)
+    _ = float(loss)
+    dt = (_time.perf_counter() - t0) / iters
+    return {
+        "variant": variant,
+        "path": f"train-{label}",
+        "batch": B,
+        "metric": "train_step_ms",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step",
+        "vs_baseline": round((B * TRAIN_SECS / dt) / 50.0, 3),  # trained audio-sec/sec / 50
+    }
+
+
 VARIANTS = ["bss"] + [f"spe_{f}" for f in SPE_FUSIONS] + ["ira", "rawnet"]
 
 
 def main():
     path = "parity" if "--parity" in sys.argv else ("f32" if "--f32" in sys.argv else "fast")
+    train = "--train" in sys.argv
     only = sys.argv[sys.argv.index("--variant") + 1] if "--variant" in sys.argv else None
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 32
+    default_batch = 5 if train else 32  # 5 = the reference's training batch
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else default_batch
     rows = []
     for v in VARIANTS:
         if only and v != only:
+            continue
+        if train:
+            row = bench_train_variant(v, path, batch)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
             continue
         # IRA runs two full DPRNN passes; RawNet adds the 16 kHz sinc branch —
         # smaller batches keep HBM in bounds at 10 s utterances
@@ -151,17 +224,19 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
     if not only and rows:
-        write_table(rows, PATHS[path][0])
+        label = ("train " if train else "") + PATHS[path][0]
+        write_table(rows, label, train=train)
 
 
-def write_table(rows, label):
+def write_table(rows, label, train=False):
     import os
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ALL.md")
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    value_col = "ms/step" if train else "audio-sec/sec/chip"
     lines = [
         f"\n## {label} — {stamp}\n",
-        "| variant | batch | audio-sec/sec/chip | x realtime vs 50x target |",
+        f"| variant | batch | {value_col} | x realtime vs 50x target |",
         "|---|---|---|---|",
     ]
     for r in rows:
