@@ -18,8 +18,59 @@ import time
 import numpy as np
 
 
-def main():
+def _enable_compile_cache():
+    import os
+
     import jax
+
+    cache = os.path.expanduser("~/.cache/tss_dprnn_tpu_xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _probe_backend(attempts: int = 3, timeout_s: int = 300) -> bool:
+    """Bounded device-backend probe in a subprocess.
+
+    A TPU-tunnel outage makes in-process jax backend init hang forever
+    (observed 2026-08-17); probing in a killable child keeps the bench — and
+    the driver that runs it — bounded. Retries cover transient outages."""
+    import os
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    attempts = int(os.environ.get("TSS_BENCH_PROBE_ATTEMPTS", attempts))
+    timeout_s = int(os.environ.get("TSS_BENCH_PROBE_TIMEOUT", timeout_s))
+    code = "import jax; d = jax.devices(); print('ok', d[0].platform)"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([_sys.executable, "-c", code], timeout=timeout_s,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# backend probe attempt {i + 1}/{attempts} failed; retrying",
+              file=_sys.stderr, flush=True)
+        _time.sleep(30)
+    return False
+
+
+def main():
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "separated_audio_sec_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "audio-sec/sec",
+            "vs_baseline": 0.0,
+            "error": "device backend init hung (TPU tunnel outage) — bench not run",
+        }))
+        return
+
+    import jax
+
+    _enable_compile_cache()
 
     from tss_dprnn_tpu.models import DPRNNSpeTasNet
 

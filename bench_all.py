@@ -194,6 +194,9 @@ VARIANTS = ["bss"] + [f"spe_{f}" for f in SPE_FUSIONS] + ["ira", "rawnet"]
 
 
 def main():
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
     path = "parity" if "--parity" in sys.argv else ("f32" if "--f32" in sys.argv else "fast")
     train = "--train" in sys.argv
     only = sys.argv[sys.argv.index("--variant") + 1] if "--variant" in sys.argv else None
