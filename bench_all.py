@@ -139,7 +139,11 @@ def bench_train_variant(variant: str, path: str, batch: int) -> dict:
     from tss_dprnn_tpu.training import Trainer, TrainerRawNet, TrainerSpe
 
     label, bf16, backend = PATHS[path]
-    model, kind = build(variant, bf16, remat=not (bf16 and backend == "pallas"))
+    # IRA runs the DPRNN stack twice per forward — its un-remat residual
+    # streams (2 passes x 12 scans) blow HBM temp even at B=5 x 3 s, so it
+    # keeps per-block remat on; the single-pass variants fit without it.
+    remat = variant == "ira" or not (bf16 and backend == "pallas")
+    model, kind = build(variant, bf16, remat=remat)
     B, T = batch, int(TRAIN_SECS * SR)  # 3 s @ 8 kHz, the reference's crop
     rng = np.random.default_rng(0)
     batch_d = {"mix": rng.standard_normal((B, T)).astype(np.float32)}
