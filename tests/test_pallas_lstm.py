@@ -91,6 +91,10 @@ def test_time_major_lstm_matches_batch_major(rng, monkeypatch):
     from jax.experimental import pallas as pl
 
     monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    # pin the time-major kernel for the inference primal too: the bitwise
+    # check below relies on lstm and lstm_tm running the SAME kernel, and
+    # lstm's inference primal defaults to the batch-major kernel (TSS_BM)
+    monkeypatch.setenv("TSS_BM", "0")
     B, T, F, H = 3, 11, 16, 8  # T=11 also exercises the unroll-pad path
     x = rng.standard_normal((B, T, F)).astype(np.float32)
     fwd = _weights(rng, F, H)
@@ -169,5 +173,34 @@ def test_bilstm2_exact_divisor_tile(rng, monkeypatch):
         x = rng.standard_normal((192, T, F)).astype(np.float32)
         ref = np.asarray(rnn.lstm(x, fwd, bwd))
         o0, o1 = pk.bilstm2_forward(x, wi, b, wh, row_tile=128)
+        got = np.concatenate([np.asarray(o0), np.asarray(o1)], -1)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_bilstm2_batch_major_matches_scan(rng, monkeypatch):
+    """The batch-major bilstm2 kernel (blocks walk the PUBLIC [R, T, F]
+    layout; unroll = time block size, forced to a multiple of 8 by the Pallas
+    sublane constraint) must reproduce the lax.scan reference on both shape
+    paths: T an exact multiple of the unroll and T requiring the in-kernel
+    dir-1 pad masking."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    from tss_dprnn_tpu.ops import pallas_lstm as pk
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    F = H = 16
+    fwd = _weights(rng, F, H)
+    bwd = _weights(rng, F, H)
+    wi = np.stack([fwd.w_ih, bwd.w_ih])
+    wh = np.stack([fwd.w_hh, bwd.w_hh])
+    b = np.stack([fwd.b, bwd.b])
+    # T=16: exact unroll divisor; T=11: pads to 16 with 5 masked sub-steps
+    # (dir 1 starts inside the pad block). B=192 with row_tile=128 also
+    # exercises the exact-divisor row-tile search.
+    for T in (16, 11):
+        x = rng.standard_normal((192, T, F)).astype(np.float32)
+        ref = np.asarray(rnn.lstm(x, fwd, bwd))
+        o0, o1 = pk.bilstm2_forward_bm(x, wi, b, wh, row_tile=128)
         got = np.concatenate([np.asarray(o0), np.asarray(o1)], -1)
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)

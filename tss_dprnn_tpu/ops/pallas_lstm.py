@@ -887,6 +887,152 @@ def bilstm2_forward_tm(x, w_ih2, b2, w_hh2, row_tile: int = 512, unroll: int = 5
     return o0, o1
 
 
+# ---------------------------------------------------------------------------
+# Batch-major bilstm2: the kernel consumes x [R, T, F] and produces
+# [R, T, H] per direction DIRECTLY — the BlockSpec index maps walk the time
+# axis in place of the host-side swapaxes. Motivation (flagship B=32 x 10 s
+# inference profile, 2026-08-18): the time-major kernels' outputs land in
+# {2,0,1} minor-to-major, so every scan was followed by a concatenate
+# materialized as pad_maximum_fusion (~16 ms) plus a {2,0,1}->{2,1,0} relayout
+# copy (~16 ms) before the next Dense — 2x the scan kernel's own time, ~30% of
+# the whole forward across 12 scans.
+#
+# MEASURED OUTCOME: NEGATIVE — kept opt-in (TSS_BM=1) as tested
+# infrastructure. With time as the block's second-minor dim, each sub-step
+# slice x[:, u, :] cuts across the (8, 128) native VMEM tiles, so Mosaic
+# retiles every sub-step: the kernel plateaus at ~70 ms (flagship intra
+# shape, every (unroll, row_tile) in {8,16,32}x{64..256}) vs 30 ms for the
+# time-major kernel, and e2e 324.6x vs 375.3x realtime despite eliminating
+# the concat+relayout glue. Numerics are bitwise-identical to the time-major
+# kernel. Pallas constraint: the time block (second-minor) must be a multiple
+# of 8, so T pads up to the unroll multiple with in-kernel dir-1 masking.
+# ---------------------------------------------------------------------------
+
+
+def _bilstm2_bm_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref,
+                       o0_ref, o1_ref, h0s, c0s, h1s, c1s,
+                       *, hidden: int, unroll: int, n_t: int, pad: int):
+    """Batch-major twin of `_bilstm2_kernel` (inference only): blocks are
+    (tile, u, F/H), sub-steps index the MIDDLE axis. Same math, same masking
+    of dir-1's pad sub-steps (forward-END padding = dir-1 scan START)."""
+    t = pl.program_id(1)
+    H = hidden
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        h0s[:] = jnp.zeros_like(h0s)
+        c0s[:] = jnp.zeros_like(c0s)
+        h1s[:] = jnp.zeros_like(h1s)
+        c1s[:] = jnp.zeros_like(c1s)
+
+    h0 = h0s[:]
+    c0 = c0s[:]
+    h1 = h1s[:]
+    c1 = c1s[:]
+    for u in range(unroll):
+        # ---- dir 0: forward time, ascending sub-steps
+        x_t = x0_ref[:, u, :]
+        g = jnp.dot(x_t, wih_ref[0], preferred_element_type=f32)
+        g = g + jnp.dot(h0.astype(x_t.dtype), whh_ref[0], preferred_element_type=f32)
+        g = g + b_ref[0, 0].astype(f32)
+        i = _sigmoid(g[:, :H])
+        f = _sigmoid(g[:, H : 2 * H])
+        gg = jnp.tanh(g[:, 2 * H : 3 * H])
+        o = _sigmoid(g[:, 3 * H :])
+        c0 = f * c0 + i * gg
+        h0 = (o * jnp.tanh(c0)).astype(x_t.dtype)
+        o0_ref[:, u, :] = h0.astype(o0_ref.dtype)
+
+        # ---- dir 1: mirrored block, descending sub-steps
+        u1 = unroll - 1 - u
+        x_t = x1_ref[:, u1, :]
+        g = jnp.dot(x_t, wih_ref[1], preferred_element_type=f32)
+        g = g + jnp.dot(h1.astype(x_t.dtype), whh_ref[1], preferred_element_type=f32)
+        g = g + b_ref[1, 0].astype(f32)
+        i = _sigmoid(g[:, :H])
+        f = _sigmoid(g[:, H : 2 * H])
+        gg = jnp.tanh(g[:, 2 * H : 3 * H])
+        o = _sigmoid(g[:, 3 * H :])
+        c1_new = f * c1 + i * gg
+        h1_new = (o * jnp.tanh(c1_new)).astype(x_t.dtype)
+        if pad and u1 >= unroll - pad:
+            valid = t > 0
+            c1 = jnp.where(valid, c1_new, c1)
+            h1 = jnp.where(valid, h1_new, h1)
+        else:
+            c1 = c1_new
+            h1 = h1_new
+        o1_ref[:, u1, :] = h1.astype(o1_ref.dtype)
+    h0s[:] = h0
+    c0s[:] = c0
+    h1s[:] = h1
+    c1s[:] = c1
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def bilstm2_forward_bm(x, w_ih2, b2, w_hh2, row_tile: int = 512, unroll: int = 8):
+    """Inference: x [B, T, F] -> (out0, out1) each [B, T, H], both in forward
+    time, computed and written batch-major — zero relayouts on either side.
+
+    The time axis is the block's second-to-last dim, so Pallas requires the
+    unroll (= time block size) be a multiple of 8; T is padded up to the
+    unroll multiple and the pad sub-steps are masked in-kernel for dir 1."""
+    B, T, F = x.shape
+    H = w_hh2.shape[1]
+    u = max(8, _round_up(unroll, 8))
+    Tp = _round_up(T, u)
+    pad = Tp - T
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    Rp = _round_up(max(B, 8), 8)
+    tile = min(row_tile, Rp)
+    if Rp % tile:
+        # exact-divisor tile over row padding (same policy as the tm core)
+        for cand in range(tile - tile % 8, 95, -8):
+            if Rp % cand == 0:
+                tile = cand
+                break
+    Rp = _round_up(Rp, tile)
+    if Rp != B:
+        x = jnp.pad(x, ((0, Rp - B), (0, 0), (0, 0)))
+    r_tiles = Rp // tile
+    n_t = Tp // u
+    grid = (r_tiles, n_t)
+
+    def fmap(r, t):
+        return (r, t, 0)
+
+    def mmap(r, t):
+        return (r, n_t - 1 - t, 0)
+
+    def wmap(r, t):
+        return (0, 0, 0)
+
+    sblk = pl.BlockSpec((tile, u, H), fmap)
+    sblk_m = pl.BlockSpec((tile, u, H), mmap)
+    sshape = jax.ShapeDtypeStruct((Rp, Tp, H), x.dtype)
+    scratch = [pltpu.VMEM((tile, H), x.dtype), pltpu.VMEM((tile, H), jnp.float32),
+               pltpu.VMEM((tile, H), x.dtype), pltpu.VMEM((tile, H), jnp.float32)]
+    o0, o1 = pl.pallas_call(
+        functools.partial(_bilstm2_bm_kernel, hidden=H, unroll=u, n_t=n_t, pad=pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, u, F), fmap),
+            pl.BlockSpec((tile, u, F), mmap),
+            pl.BlockSpec((2, F, 4 * H), wmap),
+            pl.BlockSpec((2, H, 4 * H), wmap),
+            pl.BlockSpec((2, 1, 4 * H), wmap),
+        ],
+        out_specs=(sblk, sblk_m),
+        out_shape=(sshape, sshape),
+        scratch_shapes=scratch,
+    )(x, x, w_ih2, w_hh2, b2[:, None, :])
+    if Rp != B or Tp != T:
+        o0, o1 = o0[:B, :T], o1[:B, :T]
+    return o0, o1
+
+
 @functools.partial(jax.jit, static_argnames=())
 def bilstm2_forward_resid_tm(x, w_ih2, b2, w_hh2):
     """Training forward, time-major: x [T, R, F] -> ((o0, o1) [T, R, H],

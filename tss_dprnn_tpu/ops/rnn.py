@@ -336,7 +336,25 @@ def _recurrence3(x, w_ih2, b2, w_hh2):
     directions in one kernel sweep via static mirrored index maps — the
     [2, B, T, F] stacked input, its time flip, and the output flip never
     exist (see pallas_lstm.py bilstm2 section). Returns (out_f, out_b), both
-    [B, T, H] in FORWARD time."""
+    [B, T, H] in FORWARD time.
+
+    A BATCH-MAJOR kernel variant (blocks walk the time axis in the public
+    [R, T, F] layout; pallas_lstm.bilstm2_forward_bm) is available via
+    ``TSS_BM=1`` but is a measured NET LOSS (2026-08-18): with time as the
+    block's second-minor dim every sub-step slice ``x[:, u, :]`` cuts across
+    the (8, 128) VMEM tiles, so Mosaic retiles per sub-step — the kernel
+    plateaus at ~70 ms at the flagship intra shape vs 30 ms time-major for
+    every (unroll, row_tile) in {8,16,32}x{64..256}, and e2e 324.6x vs
+    375.3x realtime even though it eliminates the ~32 ms/scan concat+relayout
+    glue the time-major outputs incur. Fourth confirmation of the layout
+    lesson: keep the scan's hot loop sublane-aligned (time-major) and let XLA
+    pay the public-layout conversion."""
+    import os
+
+    if os.environ.get("TSS_BM", "0") == "1":
+        from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_forward_bm
+
+        return bilstm2_forward_bm(x, w_ih2, b2, w_hh2)
     from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_forward
 
     return bilstm2_forward(x, w_ih2, b2, w_hh2)
