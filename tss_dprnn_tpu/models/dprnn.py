@@ -31,7 +31,14 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tss_dprnn_tpu.models.layers import GlobalNorm, PReLU, RNNCore, make_dense, torch_uniform_init
+from tss_dprnn_tpu.models.layers import (
+    GlobalNorm,
+    PReLU,
+    RNNCore,
+    SplitDense,
+    make_dense,
+    torch_uniform_init,
+)
 from tss_dprnn_tpu.ops import chunking
 from tss_dprnn_tpu.ops import rnn as rnn_ops
 from tss_dprnn_tpu.ops.conv import conv1d, conv_transpose1d
@@ -69,10 +76,19 @@ class DPRNNBlock(nn.Module):
                 jnp.arange(S)[None, :, None, None] < chunk_lengths[:, None, None, None]
             ).astype(x.dtype)
 
-        # intra-chunk pass: sequences of length K, batched over B*S
+        # intra-chunk pass: sequences of length K, batched over B*S.
+        # Bidirectional LSTM scans feed their Dense as an unconcatenated
+        # direction pair (SplitDense) — same math and param tree, but the
+        # {2,0,1}-layout kernel outputs never pay the concat materialization.
         h = x.reshape(B * S, K, N)
-        h = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(h)
-        h = make_dense(N, name="intra_linear", dtype=self.dtype)(h)
+        if self.rnn_type == "LSTM":
+            o0, o1 = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(
+                h, return_pair=True
+            )
+            h = SplitDense(N, name="intra_linear", dtype=self.dtype)(o0, o1)
+        else:
+            h = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(h)
+            h = make_dense(N, name="intra_linear", dtype=self.dtype)(h)
         h = h.reshape(B, S, K, N)
         h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="intra_norm")(h, chunk_mask)
         x = x + h
@@ -82,10 +98,16 @@ class DPRNNBlock(nn.Module):
         inter_lengths = None
         if chunk_lengths is not None:
             inter_lengths = jnp.repeat(chunk_lengths, K, total_repeat_length=B * K)
-        h = RNNCore(self.hidden_size, self.bidirectional, self.rnn_type, self.dtype, name="inter_rnn")(
-            h, inter_lengths
-        )
-        h = make_dense(N, name="inter_linear", dtype=self.dtype)(h)
+        if self.rnn_type == "LSTM" and self.bidirectional:
+            o0, o1 = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="inter_rnn")(
+                h, inter_lengths, return_pair=True
+            )
+            h = SplitDense(N, name="inter_linear", dtype=self.dtype)(o0, o1)
+        else:
+            h = RNNCore(self.hidden_size, self.bidirectional, self.rnn_type, self.dtype, name="inter_rnn")(
+                h, inter_lengths
+            )
+            h = make_dense(N, name="inter_linear", dtype=self.dtype)(h)
         h = jnp.transpose(h.reshape(B, K, S, N), (0, 2, 1, 3))
         h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="inter_norm")(h, chunk_mask)
         return x + h
@@ -99,10 +121,10 @@ class DPRNNBlock(nn.Module):
 
         # intra-chunk pass: time K, rows B*S
         h = x.reshape(K, B * S, N)
-        h = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(
-            h, time_major=True
+        o0, o1 = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(
+            h, time_major=True, return_pair=True
         )
-        h = make_dense(N, name="intra_linear", dtype=self.dtype)(h)
+        h = SplitDense(N, name="intra_linear", dtype=self.dtype)(o0, o1)
         h = h.reshape(K, B, S, N)
         h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="intra_norm")(h, batch_axis=1)
         x = x + h
@@ -110,10 +132,10 @@ class DPRNNBlock(nn.Module):
         # inter-chunk pass: time S, rows B*K
         x = jnp.transpose(x, (2, 1, 0, 3))  # [S, B, K, N]
         h = x.reshape(S, B * K, N)
-        h = RNNCore(self.hidden_size, self.bidirectional, self.rnn_type, self.dtype, name="inter_rnn")(
-            h, time_major=True
+        o0, o1 = RNNCore(self.hidden_size, self.bidirectional, self.rnn_type, self.dtype, name="inter_rnn")(
+            h, time_major=True, return_pair=True
         )
-        h = make_dense(N, name="inter_linear", dtype=self.dtype)(h)
+        h = SplitDense(N, name="inter_linear", dtype=self.dtype)(o0, o1)
         h = h.reshape(S, B, K, N)
         h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="inter_norm")(h, batch_axis=1)
         x = x + h

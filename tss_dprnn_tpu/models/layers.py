@@ -39,6 +39,37 @@ def make_dense(features: int, use_bias: bool = True, name: str = None, dtype=Non
     )
 
 
+class SplitDense(nn.Module):
+    """Dense(2H -> features) applied to an UNCONCATENATED bidirectional pair:
+    ``o0 @ kernel[:H] + o1 @ kernel[H:] + bias``.
+
+    Param tree (kernel [2H, features], bias [features]; same names, shapes,
+    and init as make_dense's nn.Dense) is checkpoint- and init-compatible
+    with the concat+Dense formulation — the math is identical because the
+    Dense is linear in its input. Skipping the concat matters on TPU: the
+    time-major pallas scan outputs live in {2,0,1} minor-to-major, and XLA
+    materializes their concatenate as a pad_maximum fusion (~16 ms per scan
+    at the flagship shape) before the Dense can run.
+    """
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, o0, o1):
+        H = o0.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (2 * H, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        o0, o1, kernel, bias = nn.dtypes.promote_dtype(
+            o0, o1, kernel, bias, dtype=self.dtype
+        )
+        return o0 @ kernel[:H] + o1 @ kernel[H:] + bias
+
+
 class RNNCore(nn.Module):
     """(Bi)RNN over [B*, T, F] -> [B*, T, H*ndir] — the reference SingleRNN
     (src/models/dprnn.py:7-37) as a fused-scan kernel with torch param layout.
@@ -52,7 +83,7 @@ class RNNCore(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, lengths=None, time_major: bool = False):
+    def __call__(self, x, lengths=None, time_major: bool = False, return_pair: bool = False):
         F = x.shape[-1]
         H = self.hidden_size
         u_f, u_h = torch_uniform_init(H), torch_uniform_init(H)
@@ -84,7 +115,13 @@ class RNNCore(nn.Module):
                 # x is [T, R, F]; only valid on the fused bidirectional
                 # pallas path (caller gates on lstm_time_major_available)
                 assert bwd is not None and lengths is None
+                if return_pair:
+                    return rnn_ops.lstm_pair_tm(x, to_lstm(fwd), to_lstm(bwd))
                 return rnn_ops.lstm_tm(x, to_lstm(fwd), to_lstm(bwd))
+            if return_pair:
+                # direction pair for a SplitDense consumer (concat skipped)
+                assert bwd is not None
+                return rnn_ops.lstm_pair(x, to_lstm(fwd), to_lstm(bwd), lengths)
             return rnn_ops.lstm(x, to_lstm(fwd), to_lstm(bwd) if bwd else None, lengths)
         if self.rnn_type == "GRU":
             return rnn_ops.gru(x, fwd, bwd, lengths)

@@ -506,6 +506,33 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     return jnp.concatenate([out_f, out_b], axis=-1)  # [B, T, 2H]
 
 
+def lstm_pair(x, fwd: LSTMWeights, bwd: LSTMWeights, lengths=None):
+    """Bidirectional LSTM returning the per-direction pair (out_f, out_b),
+    each [B, T, H], WITHOUT concatenating. The consumer that follows every
+    DPRNN scan is a Dense(2H -> N) — a linearity, so it can contract each
+    direction against its kernel half and skip the concat entirely (the
+    time-major pallas outputs live in {2,0,1} layout and XLA materializes
+    their concat as a pad_maximum fusion, ~16 ms/scan at the flagship shape).
+    Semantics identical to ``lstm(...)`` split at the last axis."""
+    if lengths is None and _LSTM_BACKEND.get() == "pallas" and _LSTM_SAVE_EVERY.get() <= 1:
+        w_ih2 = jnp.stack([fwd.w_ih, bwd.w_ih]).astype(x.dtype)
+        b2 = jnp.stack([fwd.b, bwd.b])
+        w_hh2 = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(x.dtype)
+        return _recurrence3(x, w_ih2, b2, w_hh2)
+    out = lstm(x, fwd, bwd, lengths)
+    H = fwd.w_hh.shape[0]
+    return out[..., :H], out[..., H:]
+
+
+def lstm_pair_tm(x, fwd: LSTMWeights, bwd: LSTMWeights):
+    """Time-major twin of :func:`lstm_pair`: x [T, R, F] -> pair of
+    [T, R, H]. Same validity conditions as :func:`lstm_tm`."""
+    w_ih2 = jnp.stack([fwd.w_ih, bwd.w_ih]).astype(x.dtype)
+    b2 = jnp.stack([fwd.b, bwd.b])
+    w_hh2 = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(x.dtype)
+    return _recurrence3_tm(x, w_ih2, b2, w_hh2)
+
+
 def vanilla_rnn(x, fwd, bwd=None, lengths=None):
     """(Bi) tanh-RNN over [B, T, F] (torch nn.RNN): h = tanh(xW_ih + b_ih + hW_hh + b_hh).
 
