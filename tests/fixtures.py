@@ -16,39 +16,46 @@ from tss_dprnn_tpu.data import wav
 SR = 8000
 
 
-def make_mini_librimix(root, n_mix=8, n_speakers=4, min_sec=2.0, max_sec=4.0, seed=0):
-    """Creates wavs + mixture CSV under ``root``; returns csv_path."""
+def make_mini_librimix(root, n_mix=8, n_speakers=4, min_sec=2.0, max_sec=4.0,
+                       seed=0, n_src=2):
+    """Creates wavs + mixture CSV under ``root``; returns csv_path.
+
+    ``n_src=3`` emits a Libri3Mix-style corpus: three-speaker mixture stems
+    (``u1_u2_u3``), an ``s3`` source dir, and a ``source_3_path`` CSV column
+    (the layout the reference evaluated for its published Libri3Mix row,
+    metrics/dprnn-spe/final_metrics_attention_libri3mix.json)."""
     rng = np.random.default_rng(seed)
     os.makedirs(f"{root}/mix_clean", exist_ok=True)
-    os.makedirs(f"{root}/s1", exist_ok=True)
-    os.makedirs(f"{root}/s2", exist_ok=True)
+    for j in range(n_src):
+        os.makedirs(f"{root}/s{j + 1}", exist_ok=True)
     rows = []
     utt_counter = {}
     for i in range(n_mix):
-        spk1, spk2 = rng.choice(n_speakers, size=2, replace=False) + 1000
-        utt_counter[spk1] = utt_counter.get(spk1, 0) + 1
-        utt_counter[spk2] = utt_counter.get(spk2, 0) + 1
-        u1 = f"{spk1}-{100 + i}-{utt_counter[spk1]:04d}"
-        u2 = f"{spk2}-{200 + i}-{utt_counter[spk2]:04d}"
+        spks = rng.choice(n_speakers, size=n_src, replace=False) + 1000
+        utts, srcs = [], []
         T = int(SR * rng.uniform(min_sec, max_sec))
         t = np.arange(T) / SR
-        f1, f2 = rng.uniform(100, 800, size=2)
-        s1 = (0.4 * np.sin(2 * np.pi * f1 * t) * rng.uniform(0.5, 1.0)).astype(np.float32)
-        s2 = (0.4 * np.sin(2 * np.pi * f2 * t + 1.0) * rng.uniform(0.5, 1.0)).astype(np.float32)
-        s1 += 0.05 * rng.standard_normal(T).astype(np.float32)
-        s2 += 0.05 * rng.standard_normal(T).astype(np.float32)
-        mix = s1 + s2
-        stem = f"{u1}_{u2}"
+        for j, spk in enumerate(spks):
+            utt_counter[spk] = utt_counter.get(spk, 0) + 1
+            utts.append(f"{spk}-{(j + 1) * 100 + i}-{utt_counter[spk]:04d}")
+            f = rng.uniform(100, 800)
+            # amplitude scaled so the mixture can't clip the int16 WAV range
+            # (n_src=2 keeps the original 0.4 exactly)
+            amp = 0.4 * 2 / n_src
+            s = (amp * np.sin(2 * np.pi * f * t + j) * rng.uniform(0.5, 1.0)).astype(np.float32)
+            s += 0.03 * rng.standard_normal(T).astype(np.float32) if n_src > 2 else \
+                0.05 * rng.standard_normal(T).astype(np.float32)
+            srcs.append(s)
+        mix = np.sum(srcs, axis=0).astype(np.float32)
+        stem = "_".join(utts)
         mix_path = f"{root}/mix_clean/{stem}.wav"
-        s1_path = f"{root}/s1/{stem}.wav"
-        s2_path = f"{root}/s2/{stem}.wav"
         wav.write(mix_path, mix, SR)
-        wav.write(s1_path, s1, SR)
-        wav.write(s2_path, s2, SR)
-        rows.append(
-            dict(mixture_ID=stem, mixture_path=mix_path, source_1_path=s1_path,
-                 source_2_path=s2_path, length=T)
-        )
+        row = dict(mixture_ID=stem, mixture_path=mix_path, length=T)
+        for j, s in enumerate(srcs):
+            p = f"{root}/s{j + 1}/{stem}.wav"
+            wav.write(p, s, SR)
+            row[f"source_{j + 1}_path"] = p
+        rows.append(row)
     csv_path = f"{root}/mixture_test_mix_clean.csv"
     pd.DataFrame(rows).to_csv(csv_path, index=False)
     return csv_path

@@ -57,6 +57,35 @@ def test_manifest_and_datasets(tmp_path, rng):
     assert ms2["entries"][0]["start"] == ms["entries"][0]["start"]
 
 
+def test_libri3mix_manifest_and_datasets(tmp_path):
+    """Libri3Mix-style corpora (3-speaker mixtures, source_3_path column)
+    flow through the same manifest/dataset machinery: BSS yields [3, T]
+    sources; Spe targets the FIRST speaker with a same-speaker reference —
+    the setup behind the reference's published Libri3Mix row
+    (metrics/dprnn-spe/final_metrics_attention_libri3mix.json)."""
+    csv_path = make_mini_librimix(str(tmp_path), n_mix=8, n_speakers=5, n_src=3)
+    m = build_manifest(csv_path, SR, 3, segment=1.0, spe=False, seed=1)
+    ds = Librimix(manifest=m)
+    mix, sources = ds[0]
+    assert mix.shape == (SR,) and sources.shape == (3, SR)
+    np.testing.assert_allclose(sources.sum(0), mix, atol=4 / 32768)
+
+    ms = build_manifest(csv_path, SR, 3, segment=1.0, spe=True, seed=1)
+    dss = LibrimixSpe(manifest=ms)
+    mix, target, reference, spk = dss[0]
+    assert mix.shape == target.shape == reference.shape == (SR,)
+    assert 0 <= spk < dss.num_speakers
+    # target is the first speaker's source; reference is from that speaker
+    for e, (_, row) in zip(ms["entries"], __import__("pandas").read_csv(csv_path).iterrows()):
+        assert e["source_paths"][0] == row["source_1_path"]
+        first_spk = row["mixture_ID"].split("_")[0].split("-")[0]
+        assert e["speaker_id"] == first_spk
+        # the pick is a source wav (named by ITS mixture's stem); the chosen
+        # speaker must be among that stem's utterance speakers
+        ref_stem = e["reference_path"].split("/")[-1].rsplit(".", 1)[0]
+        assert first_spk in [u.split("-")[0] for u in ref_stem.split("_")]
+
+
 def test_train_loader_shapes(tmp_path):
     csv_path = make_mini_librimix(str(tmp_path), n_mix=9)
     ds = Librimix(csv_path=csv_path, segment=1.0, seed=0)

@@ -96,6 +96,25 @@ def test_spe_inferencer_end_to_end(tmp_path):
     assert np.isfinite(final["si_sdr"])
 
 
+def test_spe_inferencer_libri3mix(tmp_path):
+    """Target extraction evaluates unchanged on 3-speaker (Libri3Mix)
+    mixtures — the reference's published Libri3Mix configuration
+    (metrics/dprnn-spe/final_metrics_attention_libri3mix.json): same
+    DPRNN-Spe model, dataset-side n_src=3, target = speaker 1."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, n_speakers=5, n_src=3,
+                             min_sec=1.0, max_sec=2.0)
+    test_set = LibrimixSpe(csv_path=csv, segment=None, n_src=3)
+    model = DPRNNSpeTasNet(**TINY, O=8, P=12, embeddings_size=8, num_spks=8, fusion_type="att")
+    z = np.zeros((1, SR), np.float32)
+    path = _save_random_checkpoint(tmp_path, model, (z, z, np.array([SR], np.float32)))
+    config = {"checkpoint_path": path, "test_savedir": str(tmp_path / "metrics_3mix"),
+              "data": {"sample_rate": SR}, "metrics": ["si_sdr", "stoi"]}
+    inf = InferencerSpe(model, config)
+    final = inf.run(test_set, batch_size=2, n_buckets=2, bucket_multiple=4000)
+    assert set(final) == {"si_sdr", "si_sdr_imp", "stoi", "stoi_imp"}
+    assert np.isfinite(final["si_sdr"])
+
+
 def test_inferencer_requires_checkpoint(tmp_path):
     model = DPRNNTasNet(**TINY)
     with pytest.raises(ValueError):

@@ -53,6 +53,40 @@ def test_masked_norm_equals_exact_norm_on_valid_region(rng):
         np.testing.assert_allclose(got[b, :, l:], 0.0, atol=1e-6)
 
 
+def test_bf16_norm_matches_f32_two_pass(rng):
+    """The bf16-resident norm path (one-pass f32-accumulated stats, no f32
+    materialization of x) must agree with the fp32 two-pass route to within
+    bf16 resolution — masked and unmasked, both batch_axis layouts."""
+    import jax.numpy as jnp
+
+    B, S, K, C = 3, 7, 11, 16
+    x = (rng.standard_normal((B, S, K, C)) * 2 + 0.5).astype(np.float32)
+    gamma = rng.standard_normal(C).astype(np.float32)
+    beta = rng.standard_normal(C).astype(np.float32)
+    mask = (rng.uniform(size=(B, S, 1, 1)) > 0.3).astype(np.float32)
+    for m in (None, mask):
+        ref = np.asarray(
+            norms.global_channel_norm_cl(x, gamma, beta, eps=1e-5, mask=m)
+        )
+        got = np.asarray(
+            norms.global_channel_norm_cl(
+                jnp.asarray(x, jnp.bfloat16), gamma, beta, eps=1e-5, mask=m
+            ).astype(jnp.float32)
+        )
+        # bf16 has ~3 decimal digits; stats agreement keeps error at
+        # input-rounding scale
+        np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+    # time-major layout: batch on axis 1
+    xt = np.transpose(x, (2, 0, 1, 3))
+    ref = np.asarray(norms.global_channel_norm_cl(xt, gamma, beta, eps=1e-5, batch_axis=1))
+    got = np.asarray(
+        norms.global_channel_norm_cl(
+            jnp.asarray(xt, jnp.bfloat16), gamma, beta, eps=1e-5, batch_axis=1
+        ).astype(jnp.float32)
+    )
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
 @pytest.mark.parametrize("stride,k,groups,pad", [(1, 2, 1, 0), (2, 2, 1, 0), (1, 1, 1, 0), (1, 3, 4, 2), (10, 251, 1, 0)])
 def test_conv1d_matches_torch(rng, stride, k, groups, pad):
     B, Cin, L = 2, 8, 300

@@ -147,8 +147,12 @@ class GlobalNorm(nn.Module):
         gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
         beta = self.param("beta", nn.initializers.zeros, (self.channels,))
         eps = norms_ops.GLOBLN_EPS if self.norm_type == "gLN" else norms_ops.GROUPNORM_EPS
+        # statistics are always fp32 inside global_channel_norm_cl; bf16
+        # inputs are passed through unconverted so x never materializes as
+        # an f32 HBM tensor (upcasts happen element-wise inside fusions)
+        xin = x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32)
         out = norms_ops.global_channel_norm_cl(
-            x.astype(jnp.float32), gamma, beta, eps=eps, mask=mask, batch_axis=batch_axis
+            xin, gamma, beta, eps=eps, mask=mask, batch_axis=batch_axis
         )
         return out.astype(self.dtype or x.dtype)
 

@@ -13,6 +13,7 @@ VPU ops; XLA fuses them into neighbouring elementwise work.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 GLOBLN_EPS = 1e-8  # reference norms.py:6 z_norm eps
@@ -74,6 +75,41 @@ def chan_ln(x, gamma, beta, mask=None):
     return global_channel_norm(x, gamma, beta, eps=GROUPNORM_EPS, mask=mask)
 
 
+def _mean_var_lowp_f32acc(x, axes, mask=None):
+    """One-pass mean/biased-variance with f32 ACCUMULATION over a
+    low-precision (bf16) tensor.
+
+    Unlike upcasting x before :func:`masked_mean_var`, this never
+    materializes an f32 copy of x in HBM: the ``dtype=float32`` reduces and
+    the in-expression ``astype`` upcast element-wise inside the reduce
+    fusions. Profiled motivation (flagship B=32 inference, 2026-08-18): the
+    pre-upcast turned every scan-output relayout copy into an f32 write —
+    2x the HBM bytes of the bf16 tensor, ~90 ms/iter across 12 blocks (the
+    B=48 OOM dump showed 3.7 GB f32 HLO temps per norm). One-pass
+    E[x^2]-E[x]^2 in f32 is safe here: post-Dense activations are O(1) with
+    near-zero mean, and the bf16 fast path's own rounding (~47 dB output
+    fidelity) dominates any f32 cancellation. The fp32 parity path keeps the
+    two-pass :func:`masked_mean_var` route bit-for-bit unchanged."""
+    f32 = jnp.float32
+    if mask is None:
+        n = 1.0
+        for a in axes:
+            n *= x.shape[a]
+        s1 = jnp.sum(x, axis=axes, keepdims=True, dtype=f32)
+        s2 = jnp.sum(jnp.square(x.astype(f32)), axis=axes, keepdims=True)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+        return mean, var
+    m = jnp.broadcast_to(mask, x.shape)
+    n = jnp.maximum(jnp.sum(m, axis=axes, keepdims=True, dtype=f32), 1.0)
+    xm = x * m.astype(x.dtype)  # masked positions exactly zero in bf16 too
+    s1 = jnp.sum(xm, axis=axes, keepdims=True, dtype=f32)
+    s2 = jnp.sum(jnp.square(xm.astype(f32)), axis=axes, keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    return mean, var
+
+
 def global_channel_norm_cl(x, gamma, beta, eps: float, mask=None, batch_axis: int = 0):
     """Channels-LAST global LN: x [B, *spatial, C], affine on the last axis.
 
@@ -81,8 +117,23 @@ def global_channel_norm_cl(x, gamma, beta, eps: float, mask=None, batch_axis: in
     but batch); this is the layout the model core uses so the affine rides the
     128-lane dimension. ``batch_axis`` lets time-major callers ([T, B, *, C])
     keep per-example statistics without transposing first.
+
+    Statistics are always fp32. bf16 inputs take the low-precision-resident
+    path (:func:`_mean_var_lowp_f32acc`): x stays bf16 in HBM and every
+    upcast happens element-wise inside fusions; other dtypes keep the
+    original two-pass route (the fp32 parity path is bit-identical).
     """
     axes = tuple(i for i in range(x.ndim) if i != batch_axis)
+    if x.dtype == jnp.bfloat16:
+        f32 = jnp.float32
+        mean, var = _mean_var_lowp_f32acc(x, axes, mask)
+        scale = jax.lax.rsqrt(var + eps)  # [B,1,..] f32
+        out = (x.astype(f32) - mean) * scale
+        out = gamma.astype(f32) * out + beta.astype(f32)
+        out = out.astype(x.dtype)
+        if mask is not None:
+            out = out * jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+        return out
     out = z_norm(x, axes, eps=eps, mask=mask)
     out = gamma.astype(x.dtype) * out + beta.astype(x.dtype)
     if mask is not None:
