@@ -96,6 +96,27 @@ def test_spe_inferencer_end_to_end(tmp_path):
     assert np.isfinite(final["si_sdr"])
 
 
+def test_overlapped_metrics_match_synchronous(tmp_path):
+    """The pipelined metric worker (overlap_metrics=True, the default) must
+    produce the same final metrics and per-row CSV as the synchronous loop."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=2.5)
+    test_set = Librimix(csv_path=csv, segment=None)
+    model = DPRNNTasNet(**TINY)
+    path = _save_random_checkpoint(tmp_path, model, (np.zeros((1, SR), np.float32),))
+    import pandas as pd
+
+    finals, frames = [], []
+    for overlap, sub in ((True, "a"), (False, "b")):
+        config = {"checkpoint_path": path, "test_savedir": str(tmp_path / sub),
+                  "data": {"sample_rate": SR}, "metrics": ["si_sdr", "stoi"]}
+        inf = Inferencer(model, config)
+        finals.append(inf.run(test_set, batch_size=2, n_buckets=2,
+                              bucket_multiple=4000, overlap_metrics=overlap))
+        frames.append(pd.read_csv(tmp_path / sub / "all_metrics.csv", index_col=0))
+    assert finals[0] == finals[1]
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
 def test_spe_inferencer_libri3mix(tmp_path):
     """Target extraction evaluates unchanged on 3-speaker (Libri3Mix)
     mixtures — the reference's published Libri3Mix configuration

@@ -120,13 +120,36 @@ class Inferencer:
     # ------------------------------------------------------------------ run
 
     def run(self, test_set, batch_size: int = 8, n_buckets: int = 8,
-            bucket_multiple: int = 2000):
+            bucket_multiple: int = 2000, overlap_metrics: bool = True):
+        """Evaluate ``test_set`` and write all_metrics.csv/final_metrics.json.
+
+        ``overlap_metrics`` pipelines the host-side metric computation
+        (PIT reorder + SI-SDR/STOI/PESQ, SURVEY.md §7e: "async metric
+        workers") with the device forwards: one FIFO worker thread computes
+        the previous batch's rows — and emits its reporter rows, serialized —
+        while the next batch runs on the TPU. A bounded pending queue keeps
+        at most a few batch outputs alive. ``False`` restores the fully
+        synchronous loop (bitwise-identical rows either way)."""
         series_list: List[Dict[str, Any]] = []
         start_time = time.time()
         loader = self._make_loader(test_set, batch_size, n_buckets, bucket_multiple)
-        for batch in loader:
-            out = self._run_forward(batch)
-            series_list.extend(self._item_rows(batch, out))
+        if overlap_metrics:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            pending: deque = deque()
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                for batch in loader:
+                    out = self._run_forward(batch)
+                    pending.append(ex.submit(self._item_rows, batch, out))
+                    while len(pending) > 3:  # bound held batch outputs
+                        series_list.extend(pending.popleft().result())
+                while pending:
+                    series_list.extend(pending.popleft().result())
+        else:
+            for batch in loader:
+                out = self._run_forward(batch)
+                series_list.extend(self._item_rows(batch, out))
         self.logger.info("Finished *** <Total time:%.3f min>.", (time.time() - start_time) / 60)
         return self._save_result(series_list)
 
