@@ -204,3 +204,44 @@ def test_bilstm2_batch_major_matches_scan(rng, monkeypatch):
         o0, o1 = pk.bilstm2_forward_bm(x, wi, b, wh, row_tile=128)
         got = np.concatenate([np.asarray(o0), np.asarray(o1)], -1)
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_bilstm2_dense_fused_matches_unfused(rng, monkeypatch):
+    """The fused SplitDense epilogue (dense mode of _bilstm2_kernel) must
+    reproduce scan + explicit per-direction contraction — forward (both the
+    exact-divisor T and the time-pad/masked path) and grads through the
+    custom VJP (whose fwd runs the unfused resid kernel)."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    F = H = 16
+    Fo = 8
+    fwd = _weights(rng, F, H)
+    bwd = _weights(rng, F, H)
+    kernel = rng.standard_normal((2 * H, Fo)).astype(np.float32) * 0.3
+
+    def ref_fn(x, fwd, bwd, kernel):
+        o0, o1 = rnn.lstm_pair(x, fwd, bwd)
+        return o0 @ kernel[:H] + o1 @ kernel[H:]
+
+    for T in (10, 11):  # 11 pads time to the unroll multiple (masked dir-1)
+        x = rng.standard_normal((192, T, F)).astype(np.float32)
+        ref = np.asarray(ref_fn(x, fwd, bwd, kernel))
+        with rnn.lstm_backend("pallas"):
+            got = np.asarray(rnn.lstm_split_dense(x, fwd, bwd, kernel))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+    x = rng.standard_normal((24, 10, F)).astype(np.float32)
+
+    def loss_fused(x, fwd, bwd, kernel):
+        return jnp.sum(jnp.square(rnn.lstm_split_dense(x, fwd, bwd, kernel)))
+
+    def loss_ref(x, fwd, bwd, kernel):
+        return jnp.sum(jnp.square(ref_fn(x, fwd, bwd, kernel)))
+
+    with rnn.lstm_backend("pallas"):
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, fwd, bwd, kernel)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, fwd, bwd, kernel)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4)

@@ -80,12 +80,16 @@ class DPRNNBlock(nn.Module):
         # Bidirectional LSTM scans feed their Dense as an unconcatenated
         # direction pair (SplitDense) — same math and param tree, but the
         # {2,0,1}-layout kernel outputs never pay the concat materialization.
+        # On the fused pallas path the contraction itself moves into the scan
+        # kernel's epilogue (rnn_ops.lstm_split_dense): the H-wide outputs
+        # never reach HBM.
         h = x.reshape(B * S, K, N)
         if self.rnn_type == "LSTM":
-            o0, o1 = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(
-                h, return_pair=True
-            )
-            h = SplitDense(N, name="intra_linear", dtype=self.dtype)(o0, o1)
+            sd = SplitDense(N, 2 * self.hidden_size, name="intra_linear", dtype=self.dtype)
+            kernel, bias = sd.promoted()
+            h = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(
+                h, dense_kernel=kernel
+            ) + bias
         else:
             h = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(h)
             h = make_dense(N, name="intra_linear", dtype=self.dtype)(h)
@@ -99,10 +103,11 @@ class DPRNNBlock(nn.Module):
         if chunk_lengths is not None:
             inter_lengths = jnp.repeat(chunk_lengths, K, total_repeat_length=B * K)
         if self.rnn_type == "LSTM" and self.bidirectional:
-            o0, o1 = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="inter_rnn")(
-                h, inter_lengths, return_pair=True
-            )
-            h = SplitDense(N, name="inter_linear", dtype=self.dtype)(o0, o1)
+            sd = SplitDense(N, 2 * self.hidden_size, name="inter_linear", dtype=self.dtype)
+            kernel, bias = sd.promoted()
+            h = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="inter_rnn")(
+                h, inter_lengths, dense_kernel=kernel
+            ) + bias
         else:
             h = RNNCore(self.hidden_size, self.bidirectional, self.rnn_type, self.dtype, name="inter_rnn")(
                 h, inter_lengths
@@ -124,7 +129,7 @@ class DPRNNBlock(nn.Module):
         o0, o1 = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(
             h, time_major=True, return_pair=True
         )
-        h = SplitDense(N, name="intra_linear", dtype=self.dtype)(o0, o1)
+        h = SplitDense(N, 2 * self.hidden_size, name="intra_linear", dtype=self.dtype)(o0, o1)
         h = h.reshape(K, B, S, N)
         h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="intra_norm")(h, batch_axis=1)
         x = x + h
@@ -135,7 +140,7 @@ class DPRNNBlock(nn.Module):
         o0, o1 = RNNCore(self.hidden_size, self.bidirectional, self.rnn_type, self.dtype, name="inter_rnn")(
             h, time_major=True, return_pair=True
         )
-        h = SplitDense(N, name="inter_linear", dtype=self.dtype)(o0, o1)
+        h = SplitDense(N, 2 * self.hidden_size, name="inter_linear", dtype=self.dtype)(o0, o1)
         h = h.reshape(S, B, K, N)
         h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="inter_norm")(h, batch_axis=1)
         x = x + h
@@ -168,7 +173,13 @@ class DPRNNCore(nn.Module):
     remat: bool = True
 
     @nn.compact
-    def __call__(self, h, time_mask=None, chunk_lengths=None):
+    def __call__(self, h, time_mask=None, chunk_lengths=None, remat=None):
+        """``remat``: per-call override of the module-level policy — IRA's
+        two-pass training keeps pass 1 rematerialized but runs pass 2 with
+        full residuals (both passes un-remat OOM HBM temp; ONE pass of saved
+        scan residuals is exactly the single-pass variants' footprint, which
+        fits remat-free)."""
+        use_remat = self.remat if remat is None else remat
         B, L, F = h.shape
         K, H = self.chunk_length, self.hop_length
         if time_mask is not None:
@@ -190,7 +201,7 @@ class DPRNNCore(nn.Module):
         )
         if use_tm:
             h = jnp.transpose(h, (2, 0, 1, 3))  # [K, B, S, F]
-        block_cls = nn.remat(DPRNNBlock) if self.remat else DPRNNBlock
+        block_cls = nn.remat(DPRNNBlock) if use_remat else DPRNNBlock
         for i in range(self.n_repeats):
             h = block_cls(
                 feature_size=F,

@@ -50,24 +50,37 @@ class SplitDense(nn.Module):
     time-major pallas scan outputs live in {2,0,1} minor-to-major, and XLA
     materializes their concatenate as a pad_maximum fusion (~16 ms per scan
     at the flagship shape) before the Dense can run.
+
+    setup-based (``in_features`` = 2H known statically) so ``promoted()`` can
+    hand the weights to the fused pallas epilogue (rnn_ops.lstm_split_dense)
+    BEFORE the scan runs — the contraction then happens inside the scan
+    kernel and the H-wide outputs never reach HBM.
     """
 
     features: int
+    in_features: int
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, o0, o1):
-        H = o0.shape[-1]
-        kernel = self.param(
+    def setup(self):
+        self.kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
-            (2 * H, self.features),
+            (self.in_features, self.features),
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, o0, o1):
+        H = o0.shape[-1]
         o0, o1, kernel, bias = nn.dtypes.promote_dtype(
-            o0, o1, kernel, bias, dtype=self.dtype
+            o0, o1, self.kernel, self.bias, dtype=self.dtype
         )
         return o0 @ kernel[:H] + o1 @ kernel[H:] + bias
+
+    def promoted(self):
+        """(kernel, bias) cast to the module compute dtype — for consumers
+        that fuse the contraction elsewhere (same promote as __call__)."""
+        kernel, bias = nn.dtypes.promote_dtype(self.kernel, self.bias, dtype=self.dtype)
+        return kernel, bias
 
 
 class RNNCore(nn.Module):
@@ -83,7 +96,8 @@ class RNNCore(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, lengths=None, time_major: bool = False, return_pair: bool = False):
+    def __call__(self, x, lengths=None, time_major: bool = False, return_pair: bool = False,
+                 dense_kernel=None):
         F = x.shape[-1]
         H = self.hidden_size
         u_f, u_h = torch_uniform_init(H), torch_uniform_init(H)
@@ -111,6 +125,14 @@ class RNNCore(nn.Module):
             bwd = jax.tree.map(lambda a: a.astype(self.dtype), bwd) if bwd else None
         if self.rnn_type == "LSTM":
             to_lstm = lambda w: rnn_ops.LSTMWeights(w[0], w[1], w[2] + w[3])
+            if dense_kernel is not None:
+                # BiLSTM -> Dense(2H -> Fo) WITHOUT bias (caller adds it):
+                # on the fused pallas path the contraction runs inside the
+                # scan kernel's epilogue so the H-wide outputs never reach HBM
+                assert bwd is not None and not time_major and not return_pair
+                return rnn_ops.lstm_split_dense(
+                    x, to_lstm(fwd), to_lstm(bwd), dense_kernel, lengths
+                )
             if time_major:
                 # x is [T, R, F]; only valid on the fused bidirectional
                 # pallas path (caller gates on lstm_time_major_available)

@@ -669,12 +669,25 @@ def lstm_backward(xk, hp, cp, tc, g_hs, w_ih, b, w_hh, unroll: int = 5):
 
 def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
                     hidden: int, unroll: int, n_t: int, pad: int,
-                    want_resid: bool, cell_dtype=jnp.float32):
+                    want_resid: bool, cell_dtype=jnp.float32,
+                    dense: bool = False):
     """Grid (r_tiles, n_t). x0/x1: (u, tile, F) blocks of the SAME array at
     block t and n_t-1-t. Outputs per dir: h [Tp, Rp, H] (+ resid streams
     hp/cp/tc per dir when want_resid). Dir-1 sub-steps run mirrored, so its
-    output block at forward position j holds its scan step for time j."""
-    if want_resid:
+    output block at forward position j holds its scan step for time j.
+
+    ``dense``: the SplitDense epilogue fused in — one extra input wo [2, H, Fo]
+    and the per-dir outputs become y_d = h_d @ wo[d] (u, tile, Fo). The H-wide
+    scan outputs never reach HBM, which kills the {2,0,1}->{2,1,0} relayout
+    copy XLA otherwise inserts between each scan and its Dense (~94 ms/iter of
+    pure copies at the flagship inference shape — profiled 2026-08-18). The
+    extra matmul rides the MXU, which idles while the cell's elementwise
+    stream bounds the kernel."""
+    wo_ref = None
+    if dense:
+        wo_ref, o0_ref, o1_ref, h0s, c0s, h1s, c1s = rest
+        hp0_ref = None
+    elif want_resid:
         (o0_ref, o1_ref, hp0_ref, cp0_ref, tc0_ref,
          hp1_ref, cp1_ref, tc1_ref, h0s, c0s, h1s, c1s) = rest
     else:
@@ -717,7 +730,12 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
         c0 = f * c0 + i * gg
         tc = jnp.tanh(c0)
         h0 = (o * tc).astype(x_t.dtype)
-        o0_ref[u, :, :] = h0.astype(o0_ref.dtype)
+        if dense:
+            o0_ref[u, :, :] = jnp.dot(
+                h0, wo_ref[0], preferred_element_type=f32
+            ).astype(o0_ref.dtype)
+        else:
+            o0_ref[u, :, :] = h0.astype(o0_ref.dtype)
         if want_resid:
             tc0_ref[u, :, :] = tc.astype(tc0_ref.dtype)
 
@@ -750,7 +768,12 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
         else:
             c1 = c1_new
             h1 = h1_new
-        o1_ref[u1, :, :] = h1.astype(o1_ref.dtype)
+        if dense:
+            o1_ref[u1, :, :] = jnp.dot(
+                h1, wo_ref[1], preferred_element_type=f32
+            ).astype(o1_ref.dtype)
+        else:
+            o1_ref[u1, :, :] = h1.astype(o1_ref.dtype)
         if want_resid:
             tc1_ref[u1, :, :] = tc.astype(tc1_ref.dtype)
     h0s[:] = h0
@@ -760,20 +783,26 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
 
 
 def _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
-                  want_resid: bool, cell_dtype=jnp.float32):
+                  want_resid: bool, cell_dtype=jnp.float32, wo2=None):
     """x [B, T, F] -> (o0, o1) [Tp, Rp, H] (+ xk and 6 resid streams when
     want_resid). o1 is already in forward time."""
     xk = jnp.swapaxes(x, 0, 1)  # [T, B, F]
     return _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile, unroll, want_resid,
-                            cell_dtype=cell_dtype)
+                            cell_dtype=cell_dtype, wo2=wo2)
 
 
 def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
-                     want_resid: bool, cell_dtype=jnp.float32):
+                     want_resid: bool, cell_dtype=jnp.float32, wo2=None):
     """Time-major core: xk [T, R, F] -> (o0, o1) [Tp, Rp, H] (+ xk and 6
-    resid streams when want_resid). o1 is already in forward time."""
+    resid streams when want_resid). o1 is already in forward time.
+    With ``wo2`` [2, H, Fo] the SplitDense epilogue is fused: outputs become
+    (y0, y1) [Tp, Rp, Fo] = h_d @ wo2[d] (mutually exclusive with
+    want_resid — training uses the unfused resid forward)."""
     T, B, F = xk.shape
     H = w_hh2.shape[1]
+    dense = wo2 is not None
+    assert not (dense and want_resid)
+    Fo = wo2.shape[2] if dense else H
     u = _pick_unroll(T, unroll)
     Tp = T
     if u == 1 and unroll > 1:
@@ -816,28 +845,34 @@ def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
     sblk = pl.BlockSpec((u, tile, H), fmap)
     sblk_m = pl.BlockSpec((u, tile, H), mmap)
     sshape = jax.ShapeDtypeStruct((Tp, Rp, H), xk.dtype)
-    out_specs = [sblk, sblk_m]
-    out_shape = [sshape, sshape]
+    out_specs = [pl.BlockSpec((u, tile, Fo), fmap), pl.BlockSpec((u, tile, Fo), mmap)]
+    out_shape = [jax.ShapeDtypeStruct((Tp, Rp, Fo), xk.dtype)] * 2
     if want_resid:
         out_specs += [sblk, sblk, sblk, sblk_m, sblk_m, sblk_m]
         out_shape += [sshape] * 6
+    in_specs = [
+        pl.BlockSpec((u, tile, F), fmap),
+        pl.BlockSpec((u, tile, F), mmap),
+        pl.BlockSpec((2, F, 4 * H), wmap),
+        pl.BlockSpec((2, H, 4 * H), wmap),
+        pl.BlockSpec((2, 1, 4 * H), wmap),
+    ]
+    operands = [xk, xk, w_ih2, w_hh2, b2[:, None, :]]
+    if dense:
+        in_specs.append(pl.BlockSpec((2, H, Fo), wmap))
+        operands.append(wo2)
     scratch = [pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), cell_dtype),
                pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), cell_dtype)]
     out = pl.pallas_call(
         functools.partial(_bilstm2_kernel, hidden=H, unroll=u, n_t=n_t,
-                          pad=pad, want_resid=want_resid, cell_dtype=cell_dtype),
+                          pad=pad, want_resid=want_resid, cell_dtype=cell_dtype,
+                          dense=dense),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((u, tile, F), fmap),
-            pl.BlockSpec((u, tile, F), mmap),
-            pl.BlockSpec((2, F, 4 * H), wmap),
-            pl.BlockSpec((2, H, 4 * H), wmap),
-            pl.BlockSpec((2, 1, 4 * H), wmap),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
-    )(xk, xk, w_ih2, w_hh2, b2[:, None, :])
+    )(*operands)
     if want_resid:
         return (*out, xk)
     return out
@@ -855,6 +890,19 @@ def bilstm2_forward(x, w_ih2, b2, w_hh2, row_tile: int = 512, unroll: int = 5,
     o0, o1 = _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile, unroll, False,
                            cell_dtype=jnp.dtype(cell_dtype).type)
     return (jnp.swapaxes(o0[:T, :B], 0, 1), jnp.swapaxes(o1[:T, :B], 0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def bilstm2_dense_forward(x, w_ih2, b2, w_hh2, wo2, row_tile: int = 512,
+                          unroll: int = 5):
+    """Inference with the SplitDense epilogue fused into the kernel:
+    x [B, T, F] -> (y0, y1) each [B, T, Fo] = h_d @ wo2[d], both in forward
+    time. The H-wide scan outputs never reach HBM (see _bilstm2_kernel's
+    ``dense`` mode)."""
+    B, T, _ = x.shape
+    y0, y1 = _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile, unroll, False,
+                           wo2=wo2)
+    return (jnp.swapaxes(y0[:T, :B], 0, 1), jnp.swapaxes(y1[:T, :B], 0, 1))
 
 
 @functools.partial(jax.jit, static_argnames=())

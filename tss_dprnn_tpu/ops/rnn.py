@@ -424,6 +424,81 @@ def _recurrence3_tm_vjp_bwd(res, g):
 _recurrence3_tm.defvjp(_recurrence3_tm_vjp_fwd, _recurrence3_tm_vjp_bwd)
 
 
+@jax.custom_vjp
+def _recurrence3_dense(x, w_ih2, b2, w_hh2, wo2):
+    """No-stack bidirectional pallas path with the SplitDense contraction
+    fused into the scan kernel's epilogue: returns (y0, y1), each [B, T, Fo]
+    = h_d @ wo2[d], both in forward time. The H-wide scan outputs never reach
+    HBM — this kills the {2,0,1}->{2,1,0} relayout copies XLA inserts between
+    each scan and its Dense (~94 ms/iter of pure copies at the flagship
+    inference shape, profiled 2026-08-18), and the per-direction outputs
+    shrink from H=128 to Fo=64 channels. The extra matmul rides the MXU,
+    which idles while the cell's elementwise stream bounds the kernel."""
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_dense_forward
+
+    return bilstm2_dense_forward(x, w_ih2, b2, w_hh2, wo2)
+
+
+def _recurrence3_dense_vjp_fwd(x, w_ih2, b2, w_hh2, wo2):
+    # training forward: the unfused resid kernel (the backward needs the
+    # h-stream residuals anyway); the contraction runs as a plain XLA matmul.
+    # Saving (o0, o1) matches the pre-fusion footprint — XLA's autodiff of
+    # SplitDense saved them too (dkernel needs them).
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_forward_resid
+
+    (o0, o1), resid = bilstm2_forward_resid(x, w_ih2, b2, w_hh2)
+    y0 = jnp.einsum("bth,hf->btf", o0, wo2[0]).astype(o0.dtype)
+    y1 = jnp.einsum("bth,hf->btf", o1, wo2[1]).astype(o1.dtype)
+    return (y0, y1), (*resid, o0, o1, w_ih2, b2, w_hh2, wo2)
+
+
+def _recurrence3_dense_vjp_bwd(res, g):
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_backward
+
+    xk, hp0, cp0, tc0, hp1, cp1, tc1, o0, o1, w_ih2, b2, w_hh2, wo2 = res
+    gy0, gy1 = g
+    f32 = jnp.float32
+    g0 = jnp.einsum("btf,hf->bth", gy0, wo2[0]).astype(o0.dtype)
+    g1 = jnp.einsum("btf,hf->bth", gy1, wo2[1]).astype(o1.dtype)
+    dwo2 = jnp.stack(
+        [
+            jnp.einsum("bth,btf->hf", o0.astype(f32), gy0.astype(f32)),
+            jnp.einsum("bth,btf->hf", o1.astype(f32), gy1.astype(f32)),
+        ]
+    )
+    dx, dw_ih2, db2, dw_hh2 = bilstm2_backward(
+        xk, hp0, cp0, tc0, hp1, cp1, tc1, g0, g1, w_ih2, b2, w_hh2
+    )
+    return (
+        dx.astype(xk.dtype),
+        dw_ih2.astype(w_ih2.dtype),
+        db2.astype(b2.dtype),
+        dw_hh2.astype(w_hh2.dtype),
+        dwo2.astype(wo2.dtype),
+    )
+
+
+_recurrence3_dense.defvjp(_recurrence3_dense_vjp_fwd, _recurrence3_dense_vjp_bwd)
+
+
+def lstm_split_dense(x, fwd: LSTMWeights, bwd: LSTMWeights, kernel, lengths=None):
+    """BiLSTM -> Dense(2H -> Fo) WITHOUT bias: ``out_f @ kernel[:H] + out_b @
+    kernel[H:]`` over [B, T, F] -> [B, T, Fo]. On the fused pallas path
+    (lengths=None, no segment checkpointing) the contraction runs inside the
+    scan kernel's epilogue (see :func:`_recurrence3_dense`); otherwise the
+    pair is computed and contracted as plain XLA matmuls — identical math."""
+    H = fwd.w_hh.shape[0]
+    if lengths is None and _LSTM_BACKEND.get() == "pallas" and _LSTM_SAVE_EVERY.get() <= 1:
+        w_ih2 = jnp.stack([fwd.w_ih, bwd.w_ih]).astype(x.dtype)
+        b2 = jnp.stack([fwd.b, bwd.b])
+        w_hh2 = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(x.dtype)
+        wo2 = jnp.stack([kernel[:H], kernel[H:]]).astype(x.dtype)
+        y0, y1 = _recurrence3_dense(x, w_ih2, b2, w_hh2, wo2)
+        return y0 + y1
+    o0, o1 = lstm_pair(x, fwd, bwd, lengths)
+    return o0 @ kernel[:H] + o1 @ kernel[H:]
+
+
 def lstm_time_major_available(bidirectional: bool, lengths) -> bool:
     """True when the time-major fused path applies: full-length bidirectional
     LSTM on the pallas backend without segment checkpointing.
