@@ -215,6 +215,7 @@ def test_bilstm2_dense_fused_matches_unfused(rng, monkeypatch):
     from jax.experimental import pallas as pl
 
     monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    monkeypatch.setenv("TSS_FUSED_DENSE", "1")  # the fused epilogue is opt-in
     F = H = 16
     Fo = 8
     fwd = _weights(rng, F, H)

@@ -80,9 +80,8 @@ class DPRNNBlock(nn.Module):
         # Bidirectional LSTM scans feed their Dense as an unconcatenated
         # direction pair (SplitDense) — same math and param tree, but the
         # {2,0,1}-layout kernel outputs never pay the concat materialization.
-        # On the fused pallas path the contraction itself moves into the scan
-        # kernel's epilogue (rnn_ops.lstm_split_dense): the H-wide outputs
-        # never reach HBM.
+        # (Moving the contraction into the scan kernel's epilogue is opt-in
+        # TSS_FUSED_DENSE=1 — measured e2e net loss, see lstm_split_dense.)
         h = x.reshape(B * S, K, N)
         if self.rnn_type == "LSTM":
             sd = SplitDense(N, 2 * self.hidden_size, name="intra_linear", dtype=self.dtype)

@@ -429,11 +429,12 @@ def _recurrence3_dense(x, w_ih2, b2, w_hh2, wo2):
     """No-stack bidirectional pallas path with the SplitDense contraction
     fused into the scan kernel's epilogue: returns (y0, y1), each [B, T, Fo]
     = h_d @ wo2[d], both in forward time. The H-wide scan outputs never reach
-    HBM — this kills the {2,0,1}->{2,1,0} relayout copies XLA inserts between
+    HBM, which kills the {2,0,1}->{2,1,0} relayout copies XLA inserts between
     each scan and its Dense (~94 ms/iter of pure copies at the flagship
-    inference shape, profiled 2026-08-18), and the per-direction outputs
-    shrink from H=128 to Fo=64 channels. The extra matmul rides the MXU,
-    which idles while the cell's elementwise stream bounds the kernel."""
+    inference shape, profiled 2026-08-18). MEASURED OUTCOME e2e: NET LOSS
+    (366.2x vs 373.3x realtime) — the epilogue matmul serializes into the
+    elementwise-bound cell loop and costs more than the copies it removes.
+    Kept opt-in (TSS_FUSED_DENSE=1), see :func:`lstm_split_dense`."""
     from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_dense_forward
 
     return bilstm2_dense_forward(x, w_ih2, b2, w_hh2, wo2)
@@ -483,12 +484,26 @@ _recurrence3_dense.defvjp(_recurrence3_dense_vjp_fwd, _recurrence3_dense_vjp_bwd
 
 def lstm_split_dense(x, fwd: LSTMWeights, bwd: LSTMWeights, kernel, lengths=None):
     """BiLSTM -> Dense(2H -> Fo) WITHOUT bias: ``out_f @ kernel[:H] + out_b @
-    kernel[H:]`` over [B, T, F] -> [B, T, Fo]. On the fused pallas path
-    (lengths=None, no segment checkpointing) the contraction runs inside the
-    scan kernel's epilogue (see :func:`_recurrence3_dense`); otherwise the
-    pair is computed and contracted as plain XLA matmuls — identical math."""
+    kernel[H:]`` over [B, T, F] -> [B, T, Fo].
+
+    The in-kernel fused epilogue (:func:`_recurrence3_dense`, contraction in
+    the scan kernel itself so the H-wide outputs never reach HBM) is OPT-IN
+    via ``TSS_FUSED_DENSE=1``: measured e2e it is a NET LOSS at the flagship
+    inference shape (366.2x vs 373.3x realtime, 2026-08-18) — the epilogue
+    matmul serializes into the elementwise-bound cell loop and costs more
+    than the relayout copies it removes (fifth confirmation of the layout
+    lesson: keep the scan hot loop lean, let XLA pay public-layout glue).
+    Default path: per-direction pair + plain XLA contraction, identical
+    math."""
+    import os
+
     H = fwd.w_hh.shape[0]
-    if lengths is None and _LSTM_BACKEND.get() == "pallas" and _LSTM_SAVE_EVERY.get() <= 1:
+    if (
+        lengths is None
+        and _LSTM_BACKEND.get() == "pallas"
+        and _LSTM_SAVE_EVERY.get() <= 1
+        and os.environ.get("TSS_FUSED_DENSE", "0") == "1"
+    ):
         w_ih2 = jnp.stack([fwd.w_ih, bwd.w_ih]).astype(x.dtype)
         b2 = jnp.stack([fwd.b, bwd.b])
         w_hh2 = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(x.dtype)
