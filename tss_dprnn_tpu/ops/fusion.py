@@ -55,18 +55,66 @@ def nearest_upsample_to(x, L: int, in_lengths=None, out_lengths=None):
 
     For bucketed eval the *true* in/out lengths may be smaller than the padded
     shapes; torch computes indices with the true ratio, so we reproduce
-    ``idx[t] = floor(t * true_L_in / true_L_out)`` per sample.
-    """
+    ``idx[t] = floor(t * true_L_in / true_L_out)`` per sample. Output
+    positions at/after ``out_lengths`` are zero (callers mask them anyway).
+
+    TPU implementation note: a ``take_along_axis`` with a broadcast
+    full-shape index lowers to a per-element scalar gather (~1.05 s at the
+    flagship masked-eval shape [8, 80000, 128] — it dominated the masked
+    forward). Instead, exploit that every (in_lengths, out_lengths) pair
+    here comes from the same utterance through ``l_in = floor(l / k)``, so
+    ``idx[t] = floor(t * l_in / l)`` deviates from the static anchor
+    ``t // k`` by exactly 0 or -1 on the valid region
+    (|t*(1/k - floor(l/k)/l)| = t*(l mod k)/(k*l) < 1 for t < l): the
+    upsample is a select between two statically-shifted k-fold repeats —
+    pure broadcast/elementwise, no gather (measured ~3 ms)."""
+    import numpy as np
+
     B, L_in, N = x.shape
-    t = jnp.arange(L, dtype=jnp.float32)
+    k = max(1, L // L_in)
+    # the two-stream select needs |idx - t//k| <= 1, which holds whenever
+    # L_in == floor(L/k) (true for every in-model use: the pooled length is
+    # floor(L/kernel)); verify the static anchor and fall back to a
+    # constant-index gather (not the pathological dynamic kind) otherwise
+    t_np = np.arange(L)
+    dev_ok = np.all(np.abs(np.minimum(t_np * L_in // L, L_in - 1) - np.minimum(t_np // k, L_in - 1)) <= 1)
+    base_np = np.minimum(t_np // k, L_in - 1)  # [L] static clipped anchor
     if in_lengths is None:
-        idx = jnp.clip(jnp.floor(t * (L_in / L)).astype(jnp.int32), 0, L_in - 1)
-        return x[:, idx, :]
-    scale = in_lengths.astype(jnp.float32) / out_lengths.astype(jnp.float32)  # [B]
-    idx = jnp.floor(t[None, :] * scale[:, None]).astype(jnp.int32)  # [B, L]
-    idx = jnp.clip(idx, 0, L_in - 1)
-    idx = jnp.broadcast_to(idx[:, :, None], (B, L, N))
-    return jnp.take_along_axis(x, idx, axis=1)
+        idx_np = np.clip(t_np * L_in // L, 0, L_in - 1)
+        if not dev_ok:
+            return x[:, jnp.asarray(idx_np, jnp.int32), :]
+        sel0 = jnp.asarray(idx_np == base_np)[None, :, None]
+        valid = None
+    else:
+        t = jnp.arange(L, dtype=jnp.int32)
+        scale = in_lengths.astype(jnp.float32) / out_lengths.astype(jnp.float32)
+        idx = jnp.floor(t[None, :].astype(jnp.float32) * scale[:, None]).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, L_in - 1)
+        if not dev_ok:  # arbitrary ratio: keep the (slow) exact gather
+            gidx = jnp.broadcast_to(idx[:, :, None], (B, L, N))
+            return jnp.take_along_axis(x, gidx, axis=1)
+        sel0 = (idx == jnp.asarray(base_np)[None, :])[:, :, None]
+        valid = (t[None, :] < out_lengths[:, None].astype(jnp.int32))[:, :, None]
+
+    # out[t] = x[base[t]] where sel0 else x[base[t] - 1]. Blocked form: the k
+    # positions t in block j = t // k share base j, so the select broadcasts
+    # x and its one-step shift directly — XLA fuses it into a single output
+    # pass (no materialized k-fold repeat streams).
+    Lc = -(-L // k)  # blocks covering L
+    xe = x if Lc <= L_in else jnp.concatenate(
+        [x, jnp.broadcast_to(x[:, -1:, :], (B, Lc - L_in, N))], axis=1
+    )  # edge-extend so clipped anchors past k*L_in read the last frame
+    xs = jnp.concatenate([xe[:, :1], xe[:, :-1]], axis=1)
+    pad_t = Lc * k - L
+    s = sel0[..., 0]
+    s = jnp.broadcast_to(s, (B, L))
+    if pad_t:
+        s = jnp.pad(s, ((0, 0), (0, pad_t)))
+    s = s.reshape(B, Lc, k, 1)
+    out = jnp.where(s, xe[:, :Lc, None, :], xs[:, :Lc, None, :]).reshape(B, Lc * k, N)[:, :L]
+    if valid is not None:
+        out = jnp.where(valid, out, jnp.zeros((), x.dtype))
+    return out
 
 
 def attention(aux_proj, out, kernel_size: int, lengths=None):
