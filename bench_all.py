@@ -76,7 +76,11 @@ PATHS = {
 }
 
 
-def bench_variant(variant: str, path: str, batch: int) -> dict:
+def bench_variant(variant: str, path: str, batch: int, masked: bool = False) -> dict:
+    """``masked``: run the bucketed-eval graph (lengths threaded through the
+    masked norms/scans/fusion — the shape Inferencer.run executes). Was 160x
+    slower than the unmasked graph before the masked_flip/nearest-upsample
+    scalar-gather fixes (2026-08-18); this lane keeps it measured."""
     import jax
     import jax.numpy as jnp  # noqa: F401
 
@@ -97,11 +101,15 @@ def bench_variant(variant: str, path: str, batch: int) -> dict:
         args += [aux, np.full((B,), float(Ta), np.float32)]
 
     variables = model.init(jax.random.PRNGKey(0), *[a[:1] for a in args])
+    lengths = np.full((B,), T, np.int32) if masked else None
 
     @jax.jit
     def fwd(*a):
         with rnn_ops.lstm_backend(backend):
-            out = model.apply(variables, *a)
+            if masked:
+                out = model.apply(variables, *a, lengths=lengths)
+            else:
+                out = model.apply(variables, *a)
         return out[0] if isinstance(out, tuple) else out
 
     dev = [jax.device_put(a) for a in args]
@@ -118,7 +126,7 @@ def bench_variant(variant: str, path: str, batch: int) -> dict:
     realtime = iters * B * SECS / dt
     return {
         "variant": variant,
-        "path": label,
+        "path": ("masked-" if masked else "") + label,
         "batch": B,
         "metric": "separated_audio_sec_per_sec_per_chip",
         "value": round(realtime, 2),
@@ -203,8 +211,9 @@ def main():
     _enable_compile_cache()
     path = "parity" if "--parity" in sys.argv else ("f32" if "--f32" in sys.argv else "fast")
     train = "--train" in sys.argv
+    masked = "--masked" in sys.argv  # bucketed-eval graph (lengths threaded)
     only = sys.argv[sys.argv.index("--variant") + 1] if "--variant" in sys.argv else None
-    default_batch = 5 if train else 32  # 5 = the reference's training batch
+    default_batch = 5 if train else (8 if masked else 32)
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else default_batch
     rows = []
     for v in VARIANTS:
@@ -227,11 +236,11 @@ def main():
             # fp32 pallas streams the projection inside the kernel; HBM holds
             # the fp32 activations fine at B=16 (B=32 10 s is marginal)
             b = min(b, 16)
-        row = bench_variant(v, path, b)
+        row = bench_variant(v, path, b, masked=masked)
         rows.append(row)
         print(json.dumps(row), flush=True)
     if not only and rows:
-        label = ("train " if train else "") + PATHS[path][0]
+        label = ("train " if train else "") + ("masked " if masked else "") + PATHS[path][0]
         write_table(rows, label, train=train)
 
 
