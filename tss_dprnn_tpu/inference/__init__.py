@@ -10,3 +10,9 @@ exact-length slices (masked forward == exact forward, tests/test_masked_eval).
 from tss_dprnn_tpu.inference.inferencer import Inferencer  # noqa: F401
 from tss_dprnn_tpu.inference.inferencer_spe import InferencerSpe  # noqa: F401
 from tss_dprnn_tpu.inference.inferencer_rawnet import InferencerRawNet  # noqa: F401
+from tss_dprnn_tpu.inference.export import (  # noqa: F401
+    ServingModel,
+    export_separation,
+    load_artifact,
+    save_artifact,
+)

@@ -2,10 +2,11 @@
 
 Lets checkpoints trained in this framework load into the reference's torch
 models (strict load), completing round-trip portability. Exact inverse of
-utils/torch_convert.py for the DPRNN / Spe / IRA families; frozen tensors the
-reference carries (the 'att' fusion average conv, BatchNorm
-num_batches_tracked) are synthesized. RawNet export is not implemented (the
-reference ships no RawNet checkpoint either, SURVEY.md §2.1).
+utils/torch_convert.py for all four families (DPRNN / Spe / IRA / RawNet);
+frozen tensors the reference carries (the 'att' fusion average conv, the
+PreEmphasis flipped filter, the ParamSincFB window/n buffers, BatchNorm
+num_batches_tracked, the dead ``bn1``) are synthesized — they are
+deterministic functions of the config, not learned state.
 """
 
 from __future__ import annotations
@@ -68,8 +69,69 @@ def _resblock_entries(out, torch_prefix, p, s):
         _dense_entries(out, f"{torch_prefix}.conv_downsample", p["conv_downsample"], conv=True)
 
 
+def _bn_default(out, torch_prefix, channels: int):
+    """Torch-default BatchNorm tensors for modules the reference defines but
+    never runs (RawNet3's ``bn1``, RawNet3.py:34) — their checkpoint values
+    are untrained noise, so defaults are the faithful export."""
+    out[f"{torch_prefix}.weight"] = np.ones(channels, np.float32)
+    out[f"{torch_prefix}.bias"] = np.zeros(channels, np.float32)
+    out[f"{torch_prefix}.running_mean"] = np.zeros(channels, np.float32)
+    out[f"{torch_prefix}.running_var"] = np.ones(channels, np.float32)
+    out[f"{torch_prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _rawnet_export(out, tp: str, sk, sk_stats, sinc_kernel: int,
+                   sample_rate: float) -> None:
+    """Inverse of torch_convert._rawnet_entry (reference RawNet3.py:23-70
+    module tree). ``tp`` = 'separation.spk_encoder'."""
+    # preprocess: PreEmphasis frozen filter (RawNetBasicBlock.py:8-26) +
+    # learned InstanceNorm affine
+    out[f"{tp}.preprocess.0.flipped_filter"] = np.array([[[-0.97, 1.0]]], np.float32)
+    out[f"{tp}.preprocess.1.weight"] = np.asarray(sk["inorm_weight"]).copy()
+    out[f"{tp}.preprocess.1.bias"] = np.asarray(sk["inorm_bias"]).copy()
+    # ParamSincFB: learnable band params + deterministic buffers
+    low = np.asarray(sk["conv1"]["low_hz_"])
+    out[f"{tp}.conv1.filterbank.low_hz_"] = low.copy()
+    out[f"{tp}.conv1.filterbank.band_hz_"] = np.asarray(sk["conv1"]["band_hz_"]).copy()
+    half = sinc_kernel // 2
+    out[f"{tp}.conv1.filterbank.window_"] = np.hamming(sinc_kernel)[:half].astype(np.float32)
+    out[f"{tp}.conv1.filterbank.n_"] = (
+        2.0 * np.pi * np.arange(-half, 0.0, dtype=np.float32) / sample_rate
+    ).reshape(1, -1)
+    C = 8 * low.shape[0]  # ParamSincFB(C//4 filters) -> C//8 bands
+    _bn_default(out, f"{tp}.bn1", C // 4)  # defined-but-unused (RawNet3.py:34)
+    for lyr in ("layer1", "layer2", "layer3"):
+        lp_t = f"{tp}.{lyr}"
+        p = sk[lyr]
+        s = sk_stats.get(lyr, {})
+        _dense_entries(out, f"{lp_t}.conv1", p["conv1"], conv=True)
+        _bn_entries(out, f"{lp_t}.bn1", p["bn1"], s["bn1"])
+        i = 0
+        while f"convs_{i}_w" in p:
+            out[f"{lp_t}.convs.{i}.weight"] = np.asarray(p[f"convs_{i}_w"]).copy()
+            out[f"{lp_t}.convs.{i}.bias"] = np.asarray(p[f"convs_{i}_b"]).copy()
+            _bn_entries(out, f"{lp_t}.bns.{i}", p[f"bns_{i}"], s[f"bns_{i}"])
+            i += 1
+        _dense_entries(out, f"{lp_t}.conv3", p["conv3"], conv=True)
+        _bn_entries(out, f"{lp_t}.bn3", p["bn3"], s["bn3"])
+        if "residual" in p:
+            out[f"{lp_t}.residual.0.weight"] = _conv1x1(p["residual"]["kernel"])
+        out[f"{lp_t}.afms.alpha"] = np.asarray(p["afms"]["alpha"]).reshape(-1, 1).copy()
+        _dense_entries(out, f"{lp_t}.afms.fc", p["afms"]["fc"])
+    _dense_entries(out, f"{tp}.layer4", sk["layer4"], conv=True)
+    _dense_entries(out, f"{tp}.attention.0", sk["att_conv1"], conv=True)
+    _bn_entries(out, f"{tp}.attention.2", sk["att_bn"], sk_stats["att_bn"])
+    _dense_entries(out, f"{tp}.attention.3", sk["att_conv2"], conv=True)
+    for bn in ("bn5", "bn6"):
+        if bn in sk:
+            _bn_entries(out, f"{tp}.{bn}", sk[bn], sk_stats[bn])
+    _dense_entries(out, f"{tp}.fc6", sk["fc6"])
+
+
 def export_state_dict(variables: Mapping[str, Any], norm_type: str = "ln",
-                      kernel_size: int = 2, fusion_type: str = None) -> Dict[str, np.ndarray]:
+                      kernel_size: int = 2, fusion_type: str = None,
+                      sinc_kernel: int = 251,
+                      sinc_sample_rate: float = 16000.0) -> Dict[str, np.ndarray]:
     """flax variables (params [+ batch_stats]) -> reference torch state_dict
     (numpy values; wrap with torch.tensor for torch.save)."""
     params = variables["params"]
@@ -117,9 +179,16 @@ def export_state_dict(variables: Mapping[str, Any], norm_type: str = "ln",
 
     if "spk_encoder" in sep:
         sk = sep["spk_encoder"]
-        if "norm" not in sk:
-            raise NotImplementedError("RawNet export is not supported (no reference ckpt format)")
         sk_stats = sep_stats.get("spk_encoder", {})
+        if "norm" not in sk:
+            # RawNet3 branch (no GroupNorm head; inorm/conv1/layers tree)
+            _rawnet_export(out, "separation.spk_encoder", sk, sk_stats,
+                           sinc_kernel, sinc_sample_rate)
+            if "pred_linear" in sep:
+                _dense_entries(out, "separation.pred_linear", sep["pred_linear"])
+            if "aux_linear" in sep:
+                _dense_entries(out, "separation.aux_linear", sep["aux_linear"])
+            return out
         wname, bname = "weight", "bias"  # spk_encoder[0] is GroupNorm in torch
         out[f"separation.spk_encoder.0.{wname}"] = np.asarray(sk["norm"]["gamma"]).copy()
         out[f"separation.spk_encoder.0.{bname}"] = np.asarray(sk["norm"]["beta"]).copy()
