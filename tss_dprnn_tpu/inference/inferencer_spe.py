@@ -39,7 +39,7 @@ class InferencerSpe(Inferencer):
             n_buckets=n_buckets, multiple=multiple, pad_to_batch=self.mesh is not None,
         )
 
-    def _item_rows(self, batch, out) -> List[Dict[str, Any]]:
+    def _metric_rows(self, batch, out) -> List[Dict[str, Any]]:
         rows = []
         for b in range(batch["mix"].shape[0]):
             if int(batch["indices"][b]) < 0:
@@ -50,24 +50,34 @@ class InferencerSpe(Inferencer):
             est = np.asarray(out[b])[:l]
             md = metrics_mod.get_metrics(mix, target, est, self.sample_rate, self.metrics)
             md["index"] = int(batch["indices"][b])
+            md["_batch_row"] = b  # consumed by _emit_rows, dropped before save
             rows.append(md)
-            if self.reporter is not None:
-                rl = int(batch["ref_len"][b])
-
-                def imp(name):
-                    a, ia = md.get(name), md.get("input_" + name)
-                    return (a - ia) if (a is not None and ia is not None) else None
-
-                self.reporter.add_and_report(
-                    logs={
-                        "id": int(batch["indices"][b]),
-                        "mix": mix, "target": target, "estimated": est,
-                        "reference": batch["reference"][b, :rl],
-                        "si_sdr": md.get("si_sdr"), "stoi": md.get("stoi"),
-                        "pesq": md.get("pesq"),
-                        "si_sdr_imp": imp("si_sdr"), "stoi_imp": imp("stoi"),
-                        "pesq_imp": imp("pesq"),
-                    },
-                    mode="test",
-                )
         return rows
+
+    def _emit_rows(self, batch, out, rows) -> None:
+        if self.reporter is None:
+            for md in rows:
+                md.pop("_batch_row", None)
+            return
+        for md in rows:
+            b = md.pop("_batch_row")
+            l = int(batch["lengths"][b])
+            rl = int(batch["ref_len"][b])
+
+            def imp(name):
+                a, ia = md.get(name), md.get("input_" + name)
+                return (a - ia) if (a is not None and ia is not None) else None
+
+            self.reporter.add_and_report(
+                logs={
+                    "id": md["index"],
+                    "mix": batch["mix"][b, :l], "target": batch["target"][b, :l],
+                    "estimated": np.asarray(out[b])[:l],
+                    "reference": batch["reference"][b, :rl],
+                    "si_sdr": md.get("si_sdr"), "stoi": md.get("stoi"),
+                    "pesq": md.get("pesq"),
+                    "si_sdr_imp": imp("si_sdr"), "stoi_imp": imp("stoi"),
+                    "pesq_imp": imp("pesq"),
+                },
+                mode="test",
+            )

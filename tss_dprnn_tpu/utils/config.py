@@ -25,23 +25,31 @@ def load_config(path: str, overrides: Optional[List[str]] = None) -> Dict[str, A
     return config
 
 
+DEFAULT_COMPILE_CACHE = "~/.cache/tss_dprnn_tpu_xla"
+
+
 def apply_jax_settings(config: Dict[str, Any]) -> None:
     """Optional top-level ``jax:`` section: persistent compilation cache and
-    platform pinning (XLA compiles of the flagship graphs take 30-120 s; the
-    cache makes repeat CLI runs start instantly).
+    platform pinning.
 
         jax:
-          compilation_cache_dir: ~/.cache/tss_dprnn_tpu_xla
-          platforms: tpu          # optional override
-    """
-    jc = config.get("jax") or {}
-    if not jc:
-        return
+          compilation_cache_dir: /path   # or null to disable
+          platforms: tpu                 # optional override
+
+    The compilation cache is ON BY DEFAULT (``~/.cache/tss_dprnn_tpu_xla``):
+    XLA compiles of the flagship graphs take 30-120 s per bucket shape (a
+    cold 48-utterance eval CLI run spends most of its wall-clock compiling
+    4 bucket shapes), and the persistent cache makes warm runs skip them on
+    standard hosts and on the CPU mesh. Caveat (measured 2026-08-19): through
+    a remote-compile relay (the axon dev tunnel) the cache does NOT shortcut
+    compilation — compiles happen relay-side — and adds serialization
+    overhead; set ``jax.compilation_cache_dir: null`` there."""
     import os
 
     import jax
 
-    cache_dir = jc.get("compilation_cache_dir")
+    jc = config.get("jax") or {}
+    cache_dir = jc.get("compilation_cache_dir", DEFAULT_COMPILE_CACHE)
     if cache_dir:
         cache_dir = os.path.expanduser(cache_dir)
         os.makedirs(cache_dir, exist_ok=True)
