@@ -220,3 +220,43 @@ def test_is_metrics_epoch_summary(tmp_path):
     md = train_calls[-1]["metrics"]
     assert md is not None and set(md) == {"si_sdr", "stoi"}
     assert all(np.isfinite(v) for v in md.values())
+
+
+def test_ira_fractional_remat_value_and_grad_identical():
+    """DPRNNCore's remat policy (True / False / int k) is a pure memory/
+    recompute trade: outputs AND gradients must be bitwise-independent of it.
+    Guards the IRA pass1_remat knob (models/dprnn_spe_ira.py)."""
+    from tss_dprnn_tpu.models import DPRNNSpeIRATasNet
+
+    kw = dict(input_size=8, feature_size=12, hidden_size=10, chunk_length=20,
+              kernel_size=2, hop_length=10, n_repeats=3, norm_type="ln",
+              O=8, P=12, embeddings_size=8, num_spks=8, fusion_type="att")
+    B, T = 2, 800
+    rng = np.random.default_rng(0)
+    mix = rng.standard_normal((B, T)).astype(np.float32)
+    aux = rng.standard_normal((B, T)).astype(np.float32)
+    target = rng.standard_normal((B, T)).astype(np.float32)
+    aux_len = np.full((B,), float(T), np.float32)
+
+    outs, grads = [], []
+    for pass1_remat in (None, 0, 1, 2):
+        model = DPRNNSpeIRATasNet(**kw, pass1_remat=pass1_remat)
+        variables = model.init(jax.random.PRNGKey(0), mix, aux, aux_len)
+
+        def loss_fn(params):
+            (wav, logits), _ = model.apply({**variables, "params": params},
+                                           mix, aux, aux_len, train=True,
+                                           mutable=["batch_stats"])
+            return jax.numpy.mean((wav - target) ** 2) + 1e-3 * jax.numpy.mean(logits**2)
+
+        loss, g = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+        outs.append(float(loss))
+        grads.append(g)
+
+    for o in outs[1:]:
+        assert o == outs[0]
+    for g in grads[1:]:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            grads[0], g,
+        )

@@ -16,3 +16,8 @@ from tss_dprnn_tpu.inference.export import (  # noqa: F401
     load_artifact,
     save_artifact,
 )
+from tss_dprnn_tpu.inference.long_audio import (  # noqa: F401
+    WindowedSeparator,
+    bss_windowed,
+    spe_windowed,
+)

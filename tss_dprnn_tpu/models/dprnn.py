@@ -177,8 +177,15 @@ class DPRNNCore(nn.Module):
         two-pass training keeps pass 1 rematerialized but runs pass 2 with
         full residuals (both passes un-remat OOM HBM temp; ONE pass of saved
         scan residuals is exactly the single-pass variants' footprint, which
-        fits remat-free)."""
+        fits remat-free).
+
+        Either policy may also be an ``int`` k: rematerialize only the first
+        k blocks and keep full residuals for the rest — fractional remat for
+        when the HBM budget fits more than zero but fewer than all blocks'
+        saved scan streams (IRA pass 1). True == n_repeats, False == 0.
+        Values are identical under any policy; only memory/recompute differ."""
         use_remat = self.remat if remat is None else remat
+        n_remat = int(self.n_repeats if use_remat is True else use_remat)
         B, L, F = h.shape
         K, H = self.chunk_length, self.hop_length
         if time_mask is not None:
@@ -200,8 +207,9 @@ class DPRNNCore(nn.Module):
         )
         if use_tm:
             h = jnp.transpose(h, (2, 0, 1, 3))  # [K, B, S, F]
-        block_cls = nn.remat(DPRNNBlock) if use_remat else DPRNNBlock
+        remat_block_cls = nn.remat(DPRNNBlock)
         for i in range(self.n_repeats):
+            block_cls = remat_block_cls if i < n_remat else DPRNNBlock
             h = block_cls(
                 feature_size=F,
                 hidden_size=self.hidden_size,

@@ -18,6 +18,8 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -36,6 +38,12 @@ class DPRNNSpeIRA(DPRNNSpe):
     (reference :107-109), not the masks.
     """
 
+    # Pass-1 remat policy override: None -> the module-level ``remat`` policy;
+    # an int k -> rematerialize only the first k pass-1 blocks (fractional
+    # remat — pass 2 always runs with full residuals, and the HBM budget
+    # usually fits a few more blocks' saved scan streams than zero).
+    pass1_remat: Optional[int] = None
+
     @nn.compact
     def __call__(self, x, embeddings, aux_len, lengths=None, train: bool = False):
         B, L, N = x.shape
@@ -52,7 +60,7 @@ class DPRNNSpeIRA(DPRNNSpe):
         out_norm = bottleneck_norm(x, time_mask)  # reused by both passes (:64,96)
         h = fuse(v0, out_norm, lengths)
         h = bottleneck_dense(h)
-        masks = core(h, time_mask, chunk_lengths)
+        masks = core(h, time_mask, chunk_lengths, remat=self.pass1_remat)
         d0 = masks[:, 0] * x  # [B, L, N] encoder-space pass-1 estimate
 
         # pass 2 (reference :83-109): re-embed d0 with mixture-domain frame
@@ -78,6 +86,13 @@ class DPRNNSpeIRATasNet(DPRNNSpeTasNet):
     encoder-space pass-2 target directly."""
 
     separation_cls = DPRNNSpeIRA
+
+    # see DPRNNSpeIRA.pass1_remat (fractional pass-1 remat; None -> module
+    # ``remat`` policy, int k -> remat only the first k pass-1 blocks)
+    pass1_remat: Optional[int] = None
+
+    def _separation_kwargs(self):
+        return {"pass1_remat": self.pass1_remat}
 
     @nn.compact
     def __call__(self, mix, aux, aux_len, lengths=None, train: bool = False):
