@@ -17,15 +17,21 @@ SR = 8000
 
 
 def make_mini_librimix(root, n_mix=8, n_speakers=4, min_sec=2.0, max_sec=4.0,
-                       seed=0, n_src=2):
+                       seed=0, n_src=2, noisy=False):
     """Creates wavs + mixture CSV under ``root``; returns csv_path.
 
     ``n_src=3`` emits a Libri3Mix-style corpus: three-speaker mixture stems
     (``u1_u2_u3``), an ``s3`` source dir, and a ``source_3_path`` CSV column
     (the layout the reference evaluated for its published Libri3Mix row,
-    metrics/dprnn-spe/final_metrics_attention_libri3mix.json)."""
+    metrics/dprnn-spe/final_metrics_attention_libri3mix.json).
+
+    ``noisy=True`` emits a LibriMix ``mix_both`` corpus: the mixture carries
+    an additional WHAM-style noise component that is NOT any source (the
+    condition of the reference's published noisy row,
+    metrics/dprnn-spe/final_metrics_attention_noisy.json)."""
     rng = np.random.default_rng(seed)
-    os.makedirs(f"{root}/mix_clean", exist_ok=True)
+    mix_dir = "mix_both" if noisy else "mix_clean"
+    os.makedirs(f"{root}/{mix_dir}", exist_ok=True)
     for j in range(n_src):
         os.makedirs(f"{root}/s{j + 1}", exist_ok=True)
     rows = []
@@ -47,8 +53,14 @@ def make_mini_librimix(root, n_mix=8, n_speakers=4, min_sec=2.0, max_sec=4.0,
                 0.05 * rng.standard_normal(T).astype(np.float32)
             srcs.append(s)
         mix = np.sum(srcs, axis=0).astype(np.float32)
+        if noisy:
+            # band-limited babble-ish noise, ~8 dB below the mixture
+            noise = rng.standard_normal(T).astype(np.float32)
+            noise = np.convolve(noise, np.ones(5, np.float32) / 5.0, mode="same")
+            noise *= 0.4 * np.std(mix) / (np.std(noise) + 1e-9)
+            mix = mix + noise
         stem = "_".join(utts)
-        mix_path = f"{root}/mix_clean/{stem}.wav"
+        mix_path = f"{root}/{mix_dir}/{stem}.wav"
         wav.write(mix_path, mix, SR)
         row = dict(mixture_ID=stem, mixture_path=mix_path, length=T)
         for j, s in enumerate(srcs):
@@ -56,6 +68,6 @@ def make_mini_librimix(root, n_mix=8, n_speakers=4, min_sec=2.0, max_sec=4.0,
             wav.write(p, s, SR)
             row[f"source_{j + 1}_path"] = p
         rows.append(row)
-    csv_path = f"{root}/mixture_test_mix_clean.csv"
+    csv_path = f"{root}/mixture_test_{mix_dir}.csv"
     pd.DataFrame(rows).to_csv(csv_path, index=False)
     return csv_path

@@ -170,3 +170,25 @@ def test_sharded_eval_equals_single_device(tmp_path):
     assert len(df_m) == len(df_s) == 6  # filler rows dropped
     np.testing.assert_allclose(df_m["si_sdr"], df_s["si_sdr"], rtol=0, atol=5e-4)
     assert sharded["si_sdr"] == pytest.approx(single["si_sdr"], abs=5e-4)
+
+
+def test_spe_inferencer_noisy_condition(tmp_path):
+    """Noisy LibriMix (mix_both: mixture = sources + WHAM-style noise) — the
+    reference's published noisy configuration
+    (metrics/dprnn-spe/final_metrics_attention_noisy.json). The data layer is
+    path-driven, so the same model/inferencer evaluates unchanged; *_imp is
+    measured against the noisy input mixture."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=2.0,
+                             noisy=True)
+    assert "mix_both" in csv
+    test_set = LibrimixSpe(csv_path=csv, segment=None)
+    model = DPRNNSpeTasNet(**TINY, O=8, P=12, embeddings_size=8, num_spks=8,
+                           fusion_type="att")
+    z = np.zeros((1, SR), np.float32)
+    path = _save_random_checkpoint(tmp_path, model, (z, z, np.array([SR], np.float32)))
+    config = {"checkpoint_path": path, "test_savedir": str(tmp_path / "metrics_noisy"),
+              "data": {"sample_rate": SR}, "metrics": ["si_sdr", "stoi"]}
+    inf = InferencerSpe(model, config)
+    final = inf.run(test_set, batch_size=2, n_buckets=2, bucket_multiple=4000)
+    assert set(final) == {"si_sdr", "si_sdr_imp", "stoi", "stoi_imp"}
+    assert np.isfinite(final["si_sdr"]) and np.isfinite(final["si_sdr_imp"])
