@@ -147,11 +147,15 @@ def bench_train_variant(variant: str, path: str, batch: int) -> dict:
     from tss_dprnn_tpu.training import Trainer, TrainerRawNet, TrainerSpe
 
     label, bf16, backend = PATHS[path]
-    # IRA runs the DPRNN stack twice per forward — its un-remat residual
-    # streams (2 passes x 12 scans) blow HBM temp even at B=5 x 3 s, so it
-    # keeps per-block remat on; the single-pass variants fit without it.
+    # IRA runs the DPRNN stack twice per forward — both passes un-remat blow
+    # HBM temp even at B=5 x 3 s (compile fails), so pass 2 runs full-residual
+    # and pass 1 keeps fractional remat. k=3 measured best on-chip at the
+    # reference shape: 255 ms vs 270 all-remat vs OOM at k=0
+    # (scripts/perf/ira_remat_sweep.py, 2026-08-19). The single-pass variants
+    # fit remat-free on the fast path.
     remat = variant == "ira" or not (bf16 and backend == "pallas")
-    model, kind = build(variant, bf16, remat=remat)
+    extra = {"pass1_remat": 3} if variant == "ira" and bf16 and backend == "pallas" else {}
+    model, kind = build(variant, bf16, remat=remat, **extra)
     B, T = batch, int(TRAIN_SECS * SR)  # 3 s @ 8 kHz, the reference's crop
     rng = np.random.default_rng(0)
     batch_d = {"mix": rng.standard_normal((B, T)).astype(np.float32)}

@@ -117,3 +117,62 @@ def test_cli_test_data_parallel(tmp_path):
     single = run("m1", [])
     sharded = run("m4", ["--data-parallel", "4"])
     assert abs(single["si_sdr"] - sharded["si_sdr"]) < 5e-4
+
+
+def test_cli_separate_single_file(tmp_path):
+    """cli.separate: one-WAV serving entry point — BSS writes per-source
+    files, tss_spe writes one target file; the windowed path matches shapes."""
+    import jax
+
+    from tss_dprnn_tpu.cli import separate as separate_cli
+    from tss_dprnn_tpu.data import wav
+    from tss_dprnn_tpu.models.registry import build_model
+    from tss_dprnn_tpu.utils.checkpoint import CheckpointManager, to_pure_tree
+
+    sr = 8000
+    rng = np.random.default_rng(0)
+    mix = (0.3 * rng.standard_normal(int(2.2 * sr))).astype(np.float32)
+    ref = (0.3 * rng.standard_normal(int(1.0 * sr))).astype(np.float32)
+    wav.write(str(tmp_path / "mix.wav"), mix, sr)
+    wav.write(str(tmp_path / "ref.wav"), ref, sr)
+
+    def save_ckpt(model_cfg, example, sub):
+        model = build_model(model_cfg)
+        variables = model.init(jax.random.PRNGKey(0), *example)
+        ck = CheckpointManager(str(tmp_path / sub))
+        return ck.save(1, {"epoch": 1, "params": to_pure_tree(variables["params"]),
+                           "batch_stats": to_pure_tree(variables.get("batch_stats", {}))},
+                       best=True)
+
+    z = np.zeros((1, sr), np.float32)
+
+    # --- BSS, full-length forward
+    bss_model = {k: v for k, v in TINY_MODEL.items()
+                 if k not in ("O", "P", "embeddings_size", "num_spks", "fusion_type")}
+    bss_model["target"] = "dprnn_tasnet"
+    ckpt = save_ckpt(dict(bss_model), (z,), "ck_bss")
+    cfg = dict(name="s", is_test=True, data=dict(sample_rate=sr),
+               model=bss_model, checkpoint_path=ckpt)
+    p = tmp_path / "sep_bss.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    separate_cli.main(["--config", str(p), "--mode", "bss",
+                       "--mix", str(tmp_path / "mix.wav"),
+                       "--out", str(tmp_path / "out.wav")])
+    for j in (1, 2):
+        est, rate = wav.read(str(tmp_path / f"out_s{j}.wav"))
+        assert rate == sr and len(est) == len(mix) and np.isfinite(est).all()
+
+    # --- tss_spe, windowed path
+    ckpt = save_ckpt(dict(TINY_MODEL), (z, ref[None], np.array([float(len(ref))], np.float32)),
+                     "ck_spe")
+    cfg = dict(name="s2", is_test=True, data=dict(sample_rate=sr),
+               model=dict(TINY_MODEL), checkpoint_path=ckpt)
+    p = tmp_path / "sep_spe.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    separate_cli.main(["--config", str(p), "--mode", "tss_spe",
+                       "--mix", str(tmp_path / "mix.wav"),
+                       "--ref", str(tmp_path / "ref.wav"),
+                       "--out", str(tmp_path / "target.wav"),
+                       "--window-secs", "1.0", "--batch", "2"])
+    est, rate = wav.read(str(tmp_path / "target.wav"))
+    assert rate == sr and len(est) == len(mix) and np.isfinite(est).all()
