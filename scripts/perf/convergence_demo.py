@@ -1,0 +1,231 @@
+"""End-to-end convergence demonstration on real hardware.
+
+Builds a synthetic-but-learnable separation corpus (speaker-consistent
+harmonic signatures), then drives the REAL user workflow at the reference's
+shipped model size — `generate_manifests` -> `train` -> `test` CLIs — and
+reports the trained SI-SDR improvement over the mixture. This is the
+"framework actually learns" evidence the unit suite can't give: full-size
+model, real data path, many optimizer steps, on the TPU chip.
+
+Corpus design: 8 "speakers", each a fixed fundamental (log-spaced 110-620 Hz)
+with a speaker-specific harmonic amplitude profile and slow random amplitude
+modulation. Mixtures pair two distinct speakers. Mask-based separation of
+disjoint harmonic stacks is learnable from scratch in a few hundred steps,
+and speaker identity is acoustically consistent, so the TSS path (speaker
+encoder + fusion + CE) is learnable too — unlike the unit-test fixture whose
+per-utterance random tones make speaker conditioning uninformative.
+
+Mirrors the reference's workflow (scripts/helpers/generate_datasets.py ->
+scripts/train/train.py -> scripts/test/test.py) which the reference could
+only evidence with its published Libri2Mix metric JSONs; no Libri2Mix audio
+is mounted here, so a synthetic corpus stands in.
+
+    python scripts/perf/convergence_demo.py --variant bss --epochs 30
+    python scripts/perf/convergence_demo.py --variant spe_att --epochs 30
+
+Prints one JSON line per variant and appends a dated table to CONVERGENCE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+from tss_dprnn_tpu.data import wav  # noqa: E402
+
+SR = 8000
+N_SPK = 8
+
+
+def _speaker_bank(rng):
+    """Fixed per-speaker harmonic signature: f0 log-spaced, amplitude profile."""
+    f0s = 110.0 * (2.0 ** (np.arange(N_SPK) / 4.0))  # 110 .. ~370 Hz
+    profiles = rng.uniform(0.3, 1.0, size=(N_SPK, 4))
+    profiles /= profiles.sum(axis=1, keepdims=True)
+    return f0s, profiles
+
+
+def _utterance(rng, f0, profile, T):
+    t = np.arange(T) / SR
+    x = np.zeros(T, np.float32)
+    for h, a in enumerate(profile, start=1):
+        # small per-utterance detune so utterances differ within a speaker
+        f = f0 * h * rng.uniform(0.99, 1.01)
+        x += a * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)).astype(np.float32)
+    # slow AM envelope (2-6 Hz) gives utterances temporal structure
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(2, 6) * t + rng.uniform(0, 2 * np.pi))
+    x = (x * env).astype(np.float32)
+    x += 0.01 * rng.standard_normal(T).astype(np.float32)
+    return 0.35 * x / (np.max(np.abs(x)) + 1e-9)
+
+
+def make_corpus(root, n_mix, min_sec=3.2, max_sec=5.0, seed=0):
+    """Speaker-consistent LibriMix-layout corpus; returns csv_path."""
+    rng = np.random.default_rng(seed)
+    f0s, profiles = _speaker_bank(np.random.default_rng(12345))  # bank fixed across splits
+    os.makedirs(f"{root}/mix_clean", exist_ok=True)
+    os.makedirs(f"{root}/s1", exist_ok=True)
+    os.makedirs(f"{root}/s2", exist_ok=True)
+    rows, utt_counter = [], {}
+    for i in range(n_mix):
+        spks = rng.choice(N_SPK, size=2, replace=False)
+        T = int(SR * rng.uniform(min_sec, max_sec))
+        utts, srcs = [], []
+        for j, k in enumerate(spks):
+            spk_id = 1000 + k
+            utt_counter[spk_id] = utt_counter.get(spk_id, 0) + 1
+            utts.append(f"{spk_id}-{(j + 1) * 100 + i}-{utt_counter[spk_id]:04d}")
+            srcs.append(_utterance(rng, f0s[k], profiles[k], T))
+        mix = (srcs[0] + srcs[1]).astype(np.float32)
+        stem = "_".join(utts)
+        mix_path = f"{root}/mix_clean/{stem}.wav"
+        wav.write(mix_path, mix, SR)
+        row = dict(mixture_ID=stem, mixture_path=mix_path, length=T)
+        for j, s in enumerate(srcs):
+            p = f"{root}/s{j + 1}/{stem}.wav"
+            wav.write(p, s, SR)
+            row[f"source_{j + 1}_path"] = p
+        rows.append(row)
+    csv_path = f"{root}/mixture_convergence.csv"
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    return csv_path
+
+
+# Reference shipped hparams (SURVEY.md §2.1); num_spks sized to the corpus.
+def model_cfg(variant):
+    base = dict(
+        input_size=64, feature_size=128, hidden_size=128, chunk_length=250,
+        kernel_size=2, hop_length=125, n_repeats=6, norm_type="ln",
+    )
+    if variant == "bss":
+        return dict(target="dprnn_tasnet", **base)
+    if variant == "ira":
+        return dict(target="dprnn_spe_ira_tasnet", O=128, P=256,
+                    embeddings_size=128, num_spks=N_SPK, fusion_type="cat", **base)
+    fusion = variant.split("_", 1)[1]
+    return dict(target="dprnn_spe_tasnet", O=128, P=256, embeddings_size=128,
+                num_spks=N_SPK, fusion_type=fusion, **base)
+
+
+def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, lr,
+                fast=True):
+    import yaml
+
+    from tss_dprnn_tpu.cli import generate_manifests, test as test_cli, train as train_cli
+
+    mode = "bss" if variant == "bss" else "tss_spe"
+    spe = mode != "bss"
+    vdir = os.path.join(workdir, variant)
+    os.makedirs(vdir, exist_ok=True)
+    train_csv = make_corpus(os.path.join(vdir, "wav_train"), n_train, seed=1)
+    eval_csv = make_corpus(os.path.join(vdir, "wav_eval"), n_eval, seed=2)
+    test_csv = make_corpus(os.path.join(vdir, "wav_test"), n_test, seed=3)
+
+    gen_cfg = dict(
+        dataset_type="librimix_spe" if spe else "librimix",
+        sample_rate=SR, n_src=2, segment=3, seed=0,
+        train_path=train_csv, eval_path=eval_csv, test_path=test_csv,
+        train_out=f"{vdir}/m/train.json", eval_out=f"{vdir}/m/eval.json",
+        test_out=f"{vdir}/m/test.json",
+    )
+    _write_and_run(generate_manifests, f"{vdir}/gen.yaml", gen_cfg, [])
+
+    train_model = model_cfg(variant)
+    if fast:  # the production fast path: bf16 compute + fused Pallas scans
+        train_model = dict(train_model, dtype="bfloat16")
+    train_cfg = dict(
+        name=f"convergence-{variant}", is_test=False,
+        lstm_backend="pallas" if fast else "xla",
+        data=dict(use_generated_train=f"{vdir}/m/train.json",
+                  use_generated_eval=f"{vdir}/m/eval.json",
+                  batch_size=batch_size, sample_rate=SR, seed=0),
+        model=train_model,
+        optimizer=dict(lr=lr, weight_decay=1e-5),
+        lr_scheduler=dict(patience=5, factor=0.5, decay_rate=None),
+        logs=dict(metadata=dict(ids=[])),
+        print_freq=50, clip_norm=5, cur_epoch=0, epochs=epochs,
+        early_stop=max(10, epochs), ce_gamma=0.5, checkpoint_path=None,
+        n_checkpoints=2, new_checkpoints_path=f"{vdir}/chkpts",
+    )
+    t0 = time.perf_counter()
+    _write_and_run(train_cli, f"{vdir}/train.yaml", train_cfg, ["--mode", mode])
+    train_s = time.perf_counter() - t0
+
+    best = sorted(p for p in os.listdir(f"{vdir}/chkpts") if "best" in p)[-1]
+    test_cfg = dict(
+        name=f"convergence-{variant}", is_test=True,
+        data=dict(use_generated_test=f"{vdir}/m/test.json", sample_rate=SR),
+        model=model_cfg(variant), checkpoint_path=f"{vdir}/chkpts/{best}",
+        test_savedir=f"{vdir}/metrics", metrics=["si_sdr", "stoi"],
+    )
+    t0 = time.perf_counter()
+    _write_and_run(test_cli, f"{vdir}/test.yaml", test_cfg,
+                   ["--mode", mode, "--batch-size", "4", "--n-buckets", "3"])
+    test_s = time.perf_counter() - t0
+
+    final = json.load(open(f"{vdir}/metrics/final_metrics.json"))
+    return dict(variant=variant, epochs=epochs, n_train=n_train,
+                si_sdr=round(final["si_sdr"], 2),
+                si_sdr_imp=round(final["si_sdr_imp"], 2),
+                stoi=round(final["stoi"], 3),
+                train_s=round(train_s, 1), test_s=round(test_s, 1))
+
+
+def _write_and_run(cli_mod, cfg_path, cfg, extra):
+    import yaml
+
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    cli_mod.main(["--config", cfg_path] + extra)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="bss",
+                    choices=["bss", "spe_att", "spe_add", "spe_cat", "spe_mul",
+                             "spe_film", "ira"])
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--n-train", type=int, default=400)
+    ap.add_argument("--n-eval", type=int, default=40)
+    ap.add_argument("--n-test", type=int, default=60)
+    ap.add_argument("--batch-size", type=int, default=5)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--workdir", default="/tmp/tss_convergence")
+    ap.add_argument("--no-fast", action="store_true",
+                    help="fp32 + XLA scan path (for CPU runs)")
+    ap.add_argument("--no-doc", action="store_true", help="don't append to CONVERGENCE.md")
+    args = ap.parse_args()
+
+    res = run_variant(args.variant, args.workdir, args.epochs, args.n_train,
+                      args.n_eval, args.n_test, args.batch_size, args.lr,
+                      fast=not args.no_fast)
+    print(json.dumps(res))
+    if not args.no_doc:
+        doc = os.path.join(REPO, "CONVERGENCE.md")
+        line = (f"| {res['variant']} | {res['epochs']} | {res['n_train']} | "
+                f"{res['si_sdr']} | {res['si_sdr_imp']} | {res['stoi']} | "
+                f"{res['train_s']} | {res['test_s']} |\n")
+        header = ("| variant | epochs | n_train | SI-SDR (dB) | SI-SDRi (dB) | STOI "
+                  "| train s | test s |\n|---|---|---|---|---|---|---|---|\n")
+        if not os.path.exists(doc):
+            with open(doc, "w") as f:
+                f.write("# End-to-end convergence runs (synthetic harmonic corpus)\n\n"
+                        "Generated by scripts/perf/convergence_demo.py — full CLI\n"
+                        "workflow (manifests -> train -> test) at the reference's\n"
+                        "shipped model size, from-scratch training on one TPU chip.\n\n"
+                        + header)
+        with open(doc, "a") as f:
+            f.write(line)
+
+
+if __name__ == "__main__":
+    main()
