@@ -111,6 +111,9 @@ def model_cfg(variant):
     if variant == "ira":
         return dict(target="dprnn_spe_ira_tasnet", O=128, P=256,
                     embeddings_size=128, num_spks=N_SPK, fusion_type="cat", **base)
+    if variant == "rawnet":
+        return dict(target="dprnn_rawnet_tasnet", embeddings_size=256,
+                    num_spks=N_SPK, fusion_type="cat", **base)
     fusion = variant.split("_", 1)[1]
     return dict(target="dprnn_spe_tasnet", O=128, P=256, embeddings_size=128,
                 num_spks=N_SPK, fusion_type=fusion, **base)
@@ -122,7 +125,7 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
 
     from tss_dprnn_tpu.cli import generate_manifests, test as test_cli, train as train_cli
 
-    mode = "bss" if variant == "bss" else "tss_spe"
+    mode = {"bss": "bss", "rawnet": "tss_rawnet"}.get(variant, "tss_spe")
     spe = mode != "bss"
     vdir = os.path.join(workdir, variant)
     os.makedirs(vdir, exist_ok=True)
@@ -147,7 +150,7 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
         lstm_backend="pallas" if fast else "xla",
         data=dict(use_generated_train=f"{vdir}/m/train.json",
                   use_generated_eval=f"{vdir}/m/eval.json",
-                  batch_size=batch_size, sample_rate=SR, seed=0),
+                  batch_size=batch_size, sample_rate=SR, seed=0, cache_wav=True),
         model=train_model,
         optimizer=dict(lr=lr, weight_decay=1e-5),
         lr_scheduler=dict(patience=5, factor=0.5, decay_rate=None),
@@ -192,7 +195,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="bss",
                     choices=["bss", "spe_att", "spe_add", "spe_cat", "spe_mul",
-                             "spe_film", "ira"])
+                             "spe_film", "ira", "rawnet"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--n-train", type=int, default=400)
     ap.add_argument("--n-eval", type=int, default=40)

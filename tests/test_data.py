@@ -217,3 +217,36 @@ def test_bucketed_eval_loader_per_host_sharding(tmp_path):
     all_chunks = [tuple(chunk) for _, chunk in ld_all._batch_plan()]
     flat = [c for p in plans for c in p]
     assert sorted(flat) == sorted(all_chunks)  # disjoint + complete coverage
+
+
+def test_cache_wav_identical_and_single_decode(tmp_path, monkeypatch):
+    csv_path = make_mini_librimix(str(tmp_path), n_mix=6)
+    base = Librimix(csv_path=csv_path, sample_rate=SR, n_src=2, segment=1.0, seed=3)
+    cached = Librimix(csv_path=csv_path, sample_rate=SR, n_src=2, segment=1.0,
+                      seed=3, cache_wav=True)
+    for i in range(len(base)):
+        m0, s0 = base[i]
+        m1, s1 = cached[i]
+        np.testing.assert_array_equal(m0, m1)
+        np.testing.assert_array_equal(s0, s1)
+
+    # second epoch: zero wav.read calls on the cached dataset
+    calls = []
+    real_read = wav.read
+    monkeypatch.setattr(wav, "read", lambda *a, **k: calls.append(a) or real_read(*a, **k))
+    for i in range(len(cached)):
+        cached[i]
+    assert calls == []
+    for i in range(len(base)):
+        base[i]
+    assert len(calls) == 3 * len(base)  # mixture + 2 sources, re-decoded
+
+    # spe variant: reference wavs cached too
+    spe = LibrimixSpe(csv_path=csv_path, sample_rate=SR, n_src=2, segment=1.0,
+                      seed=3, cache_wav=True)
+    plain = LibrimixSpe(csv_path=csv_path, sample_rate=SR, n_src=2, segment=1.0, seed=3)
+    for i in range(len(spe)):
+        a, b = spe[i], plain[i]
+        for x, y in zip(a[:3], b[:3]):
+            np.testing.assert_array_equal(x, y)
+        assert a[3] == b[3]

@@ -18,6 +18,7 @@ def dataset_for(config: Dict[str, Any], split: str, spe: bool):
     librimix.py:146-148), else builds from ``data.<split>_path`` CSV."""
     data = config["data"]
     cls = LibrimixSpe if spe else Librimix
+    cache_wav = bool(data.get("cache_wav", False))
     manifest_path = data.get(f"use_generated_{split}")
     if manifest_path:
         if str(manifest_path).endswith(".pkl"):
@@ -27,8 +28,8 @@ def dataset_for(config: Dict[str, Any], split: str, spe: bool):
             manifest = load_reference_pickle(
                 manifest_path, path_prefix=data.get("path_prefix")
             )
-            return cls(manifest=manifest)
-        return cls(manifest_path=manifest_path)
+            return cls(manifest=manifest, cache_wav=cache_wav)
+        return cls(manifest_path=manifest_path, cache_wav=cache_wav)
     csv_path = data.get(f"{split}_path")
     if not csv_path:
         raise ValueError(f"config.data needs use_generated_{split} or {split}_path")
@@ -39,6 +40,7 @@ def dataset_for(config: Dict[str, Any], split: str, spe: bool):
         nrows=data.get(f"nrows_{split}"),
         segment=data.get("segment") if split != "test" else data.get("segment"),
         seed=data.get("seed", 0),
+        cache_wav=cache_wav,
     )
 
 
