@@ -250,3 +250,38 @@ def test_cache_wav_identical_and_single_decode(tmp_path, monkeypatch):
         for x, y in zip(a[:3], b[:3]):
             np.testing.assert_array_equal(x, y)
         assert a[3] == b[3]
+
+
+def test_mini_from_download_offline_layout(tmp_path, monkeypatch):
+    """mini_from_download against a faked extracted MiniLibriMix layout
+    (reference librimix.py:100-143 / librimix_spe.py:168-183): BSS returns
+    (train, val); Spe returns the val set only; loaders wrap them."""
+    from tss_dprnn_tpu.data import librimix as lm
+
+    meta = tmp_path / "MiniLibriMix" / "metadata"
+    for split in ("train", "val"):
+        d = meta / split
+        d.mkdir(parents=True)
+        csv_src = make_mini_librimix(str(tmp_path / f"wavs_{split}"), n_mix=6)
+        (d / f"mixture_{split}_mix_clean.csv").write_text(
+            open(csv_src).read())
+    monkeypatch.setattr(lm, "_download_mini", lambda root="x": str(meta))
+
+    train, val = Librimix.mini_from_download(segment=1.0)
+    assert len(train) == 6 and len(val) == 6
+    m, s = train[0]
+    assert m.shape == (SR,) and s.shape == (2, SR)
+
+    vs = LibrimixSpe.mini_from_download(segment=1.0)
+    assert not isinstance(vs, tuple) and len(vs) == 6
+    mix, tgt, ref, spk = vs[0]
+    assert mix.shape == tgt.shape == (SR,) and ref.ndim == 1 and isinstance(spk, int)
+    with pytest.raises(ValueError):
+        LibrimixSpe.mini_from_download(sample_rate=16000)
+
+    tl, vl = Librimix.loaders_from_mini(batch_size=2, segment=1.0)
+    b = next(iter(tl))
+    assert b["mix"].shape == (2, SR) and b["sources"].shape == (2, 2, SR)
+    sl = LibrimixSpe.loaders_from_mini(batch_size=2, segment=1.0)
+    sb = next(iter(sl))
+    assert sb["mix"].shape == (2, SR) and sb["spk_idx"].shape == (2,)

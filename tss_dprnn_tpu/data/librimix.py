@@ -123,6 +123,20 @@ class Librimix:
                   nrows=nrows, segment=segment)
         return train, val
 
+    @classmethod
+    def loaders_from_mini(cls, batch_size=4, nrows=None, segment=3, **kwargs):
+        """MiniLibriMix train/val TrainLoaders (reference librimix.py:91-98 /
+        librimix_spe.py:161-166: the Spe variant yields only the val loader)."""
+        from tss_dprnn_tpu.data.loader import TrainLoader, collate_bss, collate_spe
+
+        sets = cls.mini_from_download(nrows=nrows, segment=segment, **kwargs)
+        collate = collate_spe if cls._spe else collate_bss
+        if isinstance(sets, tuple):
+            train, val = sets
+            return (TrainLoader(train, batch_size, collate, shuffle=True, drop_last=True),
+                    TrainLoader(val, batch_size, collate, shuffle=False, drop_last=True))
+        return TrainLoader(sets, batch_size, collate, shuffle=False, drop_last=True)
+
 
 MINI_URL = "https://zenodo.org/record/3871592/files/MiniLibriMix.zip?download=1"
 
@@ -182,3 +196,22 @@ class LibrimixSpe(Librimix):
         if self.seg_len is not None:
             return [self.seg_len] * len(self)
         return [wav.info(e["reference_path"])["frames"] for e in self.entries]
+
+    @classmethod
+    def mini_from_download(cls, nrows=None, segment=3, **kwargs):
+        """MiniLibriMix **val** dataset only (reference librimix_spe.py:168-183
+        — the Spe mini helper never builds the train split). Same-speaker
+        reference selection is frozen into the manifest at construction."""
+        import os
+
+        if kwargs.get("task", "sep_clean") not in ("sep_clean", "sep_noisy"):
+            raise ValueError("Only clean/noisy separation in MiniLibriMix")
+        if kwargs.get("sample_rate", 8000) != 8000:
+            raise ValueError("Only 8 kHz supported in MiniLibriMix")
+        meta = _download_mini()
+        for cand in ("val/mixture_val_mix_clean.csv", "mixture_val_mix_clean.csv"):
+            p = os.path.join(meta, cand)
+            if os.path.isfile(p):
+                return cls(csv_path=p, sample_rate=8000, n_src=2,
+                           nrows=nrows, segment=segment)
+        raise FileNotFoundError(f"MiniLibriMix val csv not found under {meta}")
