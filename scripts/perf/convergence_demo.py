@@ -112,8 +112,9 @@ def model_cfg(variant):
         return dict(target="dprnn_spe_ira_tasnet", O=128, P=256,
                     embeddings_size=128, num_spks=N_SPK, fusion_type="cat", **base)
     if variant == "rawnet":
+        # att = the reference's shipped RawNet variant (SURVEY §2.1)
         return dict(target="dprnn_rawnet_tasnet", embeddings_size=256,
-                    num_spks=N_SPK, fusion_type="cat", **base)
+                    num_spks=N_SPK, fusion_type="att", **base)
     fusion = variant.split("_", 1)[1]
     return dict(target="dprnn_spe_tasnet", O=128, P=256, embeddings_size=128,
                 num_spks=N_SPK, fusion_type=fusion, **base)
@@ -163,7 +164,8 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
     _write_and_run(train_cli, f"{vdir}/train.yaml", train_cfg, ["--mode", mode])
     train_s = time.perf_counter() - t0
 
-    best = sorted(p for p in os.listdir(f"{vdir}/chkpts") if "best" in p)[-1]
+    best = max((p for p in os.listdir(f"{vdir}/chkpts") if "best" in p),
+               key=lambda p: int(p.split("_")[0]))  # numeric: "30_best" > "9_best"
     test_cfg = dict(
         name=f"convergence-{variant}", is_test=True,
         data=dict(use_generated_test=f"{vdir}/m/test.json", sample_rate=SR),
