@@ -121,14 +121,14 @@ def model_cfg(variant):
 
 
 def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, lr,
-                fast=True):
+                fast=True, seed=0, tag=""):
     import yaml
 
     from tss_dprnn_tpu.cli import generate_manifests, test as test_cli, train as train_cli
 
     mode = {"bss": "bss", "rawnet": "tss_rawnet"}.get(variant, "tss_spe")
     spe = mode != "bss"
-    vdir = os.path.join(workdir, variant)
+    vdir = os.path.join(workdir, variant + (f"_{tag}" if tag else ""))
     os.makedirs(vdir, exist_ok=True)
     train_csv = make_corpus(os.path.join(vdir, "wav_train"), n_train, seed=1)
     eval_csv = make_corpus(os.path.join(vdir, "wav_eval"), n_eval, seed=2)
@@ -149,9 +149,10 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
     train_cfg = dict(
         name=f"convergence-{variant}", is_test=False,
         lstm_backend="pallas" if fast else "xla",
+        seed=seed,
         data=dict(use_generated_train=f"{vdir}/m/train.json",
                   use_generated_eval=f"{vdir}/m/eval.json",
-                  batch_size=batch_size, sample_rate=SR, seed=0, cache_wav=True),
+                  batch_size=batch_size, sample_rate=SR, seed=seed, cache_wav=True),
         model=train_model,
         optimizer=dict(lr=lr, weight_decay=1e-5),
         lr_scheduler=dict(patience=5, factor=0.5, decay_rate=None),
@@ -178,7 +179,8 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
     test_s = time.perf_counter() - t0
 
     final = json.load(open(f"{vdir}/metrics/final_metrics.json"))
-    return dict(variant=variant, epochs=epochs, n_train=n_train,
+    return dict(variant=variant + (f" ({tag})" if tag else ""),
+                epochs=epochs, n_train=n_train,
                 si_sdr=round(final["si_sdr"], 2),
                 si_sdr_imp=round(final["si_sdr_imp"], 2),
                 stoi=round(final["stoi"], 3),
@@ -204,6 +206,8 @@ def main():
     ap.add_argument("--n-test", type=int, default=60)
     ap.add_argument("--batch-size", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0, help="model-init + shuffle seed")
+    ap.add_argument("--tag", default="", help="label suffix for retry rows (own workdir)")
     ap.add_argument("--workdir", default="/tmp/tss_convergence")
     ap.add_argument("--no-fast", action="store_true",
                     help="fp32 + XLA scan path (for CPU runs)")
@@ -212,7 +216,7 @@ def main():
 
     res = run_variant(args.variant, args.workdir, args.epochs, args.n_train,
                       args.n_eval, args.n_test, args.batch_size, args.lr,
-                      fast=not args.no_fast)
+                      fast=not args.no_fast, seed=args.seed, tag=args.tag)
     print(json.dumps(res))
     if not args.no_doc:
         doc = os.path.join(REPO, "CONVERGENCE.md")

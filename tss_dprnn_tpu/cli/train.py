@@ -51,7 +51,8 @@ def main(argv=None):
 
     logger.info("Initializing trainer....")
     trainer = TrainerClass(model, config, logger=logger, reporter=reporter,
-                           eval_mixtures=eval_mixtures)
+                           eval_mixtures=eval_mixtures,
+                           seed=config.get("seed", 0))
 
     logger.info("Initiating trainer run...")
     trainer.run(train_loader, eval_loader, config.get("epochs", 10),
