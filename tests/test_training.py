@@ -260,3 +260,19 @@ def test_ira_fractional_remat_value_and_grad_identical():
             lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
             grads[0], g,
         )
+
+
+def test_trainer_seed_changes_init(tmp_path):
+    """config `seed` reaches model init via the CLI plumbing (train.py)."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=8, min_sec=1.0, max_sec=1.5)
+    ds = Librimix(csv_path=csv, segment=0.5)
+    loader = TrainLoader(ds, batch_size=8, collate_fn=collate_bss, seed=0, prefetch=0)
+    batch = next(iter(loader))
+    cfg = _config(tmp_path)
+    leaves = []
+    for seed in (0, 0, 1):
+        t = Trainer(DPRNNTasNet(**TINY), cfg, seed=seed)
+        t._ensure_state(batch)
+        leaves.append(np.asarray(jax.tree_util.tree_leaves(t.state.params)[0]))
+    np.testing.assert_array_equal(leaves[0], leaves[1])  # deterministic
+    assert not np.allclose(leaves[0], leaves[2])  # seed-sensitive
