@@ -58,6 +58,16 @@ def _probe_backend(attempts: int = 3, timeout_s: int = 300) -> bool:
 
 
 def main():
+    # the box has ONE chip: evict any registered long-running TPU job (e.g.
+    # a convergence sweep left by an unattended session) so it can't share
+    # the chip with — and corrupt — this measurement
+    try:
+        from tss_dprnn_tpu.utils.tpu_jobs import reap_tpu_jobs
+
+        reap_tpu_jobs(log=lambda m: print(m, file=sys.stderr, flush=True))
+    except Exception as e:  # reaping is protective, never bench-fatal
+        print(f"# tpu job reap skipped: {e}", file=sys.stderr, flush=True)
+
     if not _probe_backend():
         print(json.dumps({
             "metric": "separated_audio_sec_per_sec_per_chip",

@@ -212,6 +212,12 @@ VARIANTS = ["bss"] + [f"spe_{f}" for f in SPE_FUSIONS] + ["ira", "rawnet"]
 def main():
     from bench import _enable_compile_cache
 
+    try:
+        from tss_dprnn_tpu.utils.tpu_jobs import reap_tpu_jobs
+
+        reap_tpu_jobs(log=lambda m: print(m, file=sys.stderr, flush=True))
+    except Exception as e:  # reaping is protective, never bench-fatal
+        print(f"# tpu job reap skipped: {e}", file=sys.stderr, flush=True)
     _enable_compile_cache()
     path = "parity" if "--parity" in sys.argv else ("f32" if "--f32" in sys.argv else "fast")
     train = "--train" in sys.argv

@@ -214,9 +214,12 @@ def main():
     ap.add_argument("--no-doc", action="store_true", help="don't append to CONVERGENCE.md")
     args = ap.parse_args()
 
-    res = run_variant(args.variant, args.workdir, args.epochs, args.n_train,
-                      args.n_eval, args.n_test, args.batch_size, args.lr,
-                      fast=not args.no_fast, seed=args.seed, tag=args.tag)
+    from tss_dprnn_tpu.utils.tpu_jobs import register_tpu_job
+
+    with register_tpu_job(f"convergence_{args.variant}"):
+        res = run_variant(args.variant, args.workdir, args.epochs, args.n_train,
+                          args.n_eval, args.n_test, args.batch_size, args.lr,
+                          fast=not args.no_fast, seed=args.seed, tag=args.tag)
     print(json.dumps(res))
     if not args.no_doc:
         doc = os.path.join(REPO, "CONVERGENCE.md")
