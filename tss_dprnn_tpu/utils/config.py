@@ -20,9 +20,23 @@ def load_config(path: str, overrides: Optional[List[str]] = None) -> Dict[str, A
         config = yaml.safe_load(f) or {}
     for item in overrides or []:
         key, _, raw = item.partition("=")
-        set_by_path(config, key.strip(), yaml.safe_load(raw))
+        set_by_path(config, key.strip(), _parse_override(raw))
     apply_jax_settings(config)
     return config
+
+
+def _parse_override(raw: str) -> Any:
+    """YAML-parse an override value, with numeric fallback: YAML 1.1 needs a
+    dot or exponent sign to read scientific notation, so ``--set lr=5e-4``
+    would otherwise silently become the STRING '5e-4'."""
+    value = yaml.safe_load(raw)
+    if isinstance(value, str):
+        for conv in (int, float):
+            try:
+                return conv(value)
+            except ValueError:
+                pass
+    return value
 
 
 DEFAULT_COMPILE_CACHE = "~/.cache/tss_dprnn_tpu_xla"
@@ -57,6 +71,23 @@ def apply_jax_settings(config: Dict[str, Any]) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if jc.get("platforms"):
         jax.config.update("jax_platforms", str(jc["platforms"]))
+    if jc.get("distributed"):
+        # Multi-host bring-up (TPU pod / multi-slice): one call per host
+        # BEFORE any device use; afterwards jax.devices() spans all hosts,
+        # the trainer's default mesh covers them, and TrainLoader slices each
+        # global batch per process (data/loader.py lockstep-SPMD semantics).
+        #   jax:
+        #     distributed: true                  # auto-detect on Cloud TPU
+        #     coordinator_address: host:port    # explicit (non-TPU clusters)
+        #     num_processes: 4
+        #     process_id: 0
+        from tss_dprnn_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=jc.get("coordinator_address"),
+            num_processes=jc.get("num_processes"),
+            process_id=jc.get("process_id"),
+        )
 
 
 def set_by_path(config: Dict[str, Any], dotted: str, value: Any) -> None:
