@@ -192,3 +192,29 @@ def test_spe_inferencer_noisy_condition(tmp_path):
     final = inf.run(test_set, batch_size=2, n_buckets=2, bucket_multiple=4000)
     assert set(final) == {"si_sdr", "si_sdr_imp", "stoi", "stoi_imp"}
     assert np.isfinite(final["si_sdr"]) and np.isfinite(final["si_sdr_imp"])
+
+
+def test_rawnet_inferencer_end_to_end(tmp_path):
+    """InferencerRawNet (reference inferencer_rawnet.py:16-76) drives the full
+    bucketed path: 8 kHz dataset references resampled to 16 kHz inside the
+    eval collate, eval-mode BatchNorm, final_metrics schema."""
+    from tss_dprnn_tpu.inference import InferencerRawNet
+    from tss_dprnn_tpu.models import DPRNNRawNetTasNet
+
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=2.0)
+    test_set = LibrimixSpe(csv_path=csv, segment=None)
+    model = DPRNNRawNetTasNet(
+        **TINY, embeddings_size=8, num_spks=8, fusion_type="att",
+        rawnet_C=32, rawnet_scale=4, rawnet_sinc_stride=16,
+    )
+    z8, z16 = np.zeros((1, SR), np.float32), np.zeros((1, 2 * SR), np.float32)
+    path = _save_random_checkpoint(tmp_path, model,
+                                   (z8, z16, np.array([2 * SR], np.float32)))
+    config = {"checkpoint_path": path, "test_savedir": str(tmp_path / "metrics_rn"),
+              "data": {"sample_rate": SR}, "metrics": ["si_sdr", "stoi"]}
+    inf = InferencerRawNet(model, config)
+    final = inf.run(test_set, batch_size=2, n_buckets=2, bucket_multiple=4000)
+    assert set(final) == {"si_sdr", "si_sdr_imp", "stoi", "stoi_imp"}
+    assert np.isfinite(final["si_sdr"])
+    saved = json.loads((tmp_path / "metrics_rn" / "final_metrics.json").read_text())
+    assert saved["si_sdr"] == pytest.approx(final["si_sdr"])
