@@ -176,3 +176,20 @@ def test_cli_separate_single_file(tmp_path):
                        "--window-secs", "1.0", "--batch", "2"])
     est, rate = wav.read(str(tmp_path / "target.wav"))
     assert rate == sr and len(est) == len(mix) and np.isfinite(est).all()
+
+
+def test_dataset_for_test_split_ignores_segment(tmp_path):
+    """The test split must evaluate FULL-LENGTH utterances even when the
+    config carries a training segment (reference freezes its test set with
+    segment=None, generate_datasets.py:53); a reused training YAML with
+    data.segment set must not silently crop the metrics."""
+    from tss_dprnn_tpu.cli.common import dataset_for
+
+    csv = make_mini_librimix(str(tmp_path / "wavs"), n_mix=4, min_sec=1.0, max_sec=1.5)
+    config = {"data": {"train_path": csv, "test_path": csv, "segment": 0.5,
+                       "sample_rate": 8000}}
+    train_set = dataset_for(config, "train", spe=False)
+    test_set = dataset_for(config, "test", spe=False)
+    assert train_set.segment == 0.5
+    assert test_set.segment is None
+    assert max(test_set.lengths()) > max(train_set.lengths())

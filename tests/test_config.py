@@ -32,6 +32,23 @@ def test_overrides_and_model_normalization(tmp_path):
     assert oc == {"lr": 5e-4}
 
 
+def test_override_coercion_is_scoped_to_sci_notation():
+    p = cfg_mod._parse_override
+    # the YAML 1.1 gap: bare sci-notation floats
+    assert p("5e-4") == 5e-4 and isinstance(p("5e-4"), float)
+    assert p("1E3") == 1000.0 and p("-2.5e2") == -250.0
+    # intentional strings must survive the fallback (a blanket int()/float()
+    # would eat these; note "1_2" -> 12 is PyYAML's own YAML 1.1 underscore
+    # rule, not our coercion)
+    assert p("2_best") == "2_best"
+    assert p("007f") == "007f"
+    assert p("tss_spe") == "tss_spe"
+    # YAML-native scalars untouched
+    assert p("8") == 8 and p("0.5") == 0.5
+    assert p("null") is None and p("true") is True
+    assert p("[1, 2]") == [1, 2]
+
+
 def test_jax_distributed_bringup_wiring(tmp_path, monkeypatch):
     calls = []
     monkeypatch.setattr(parallel_pkg, "initialize_distributed",

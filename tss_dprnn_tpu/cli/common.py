@@ -38,7 +38,7 @@ def dataset_for(config: Dict[str, Any], split: str, spe: bool):
         sample_rate=data.get("sample_rate", 8000),
         n_src=data.get("n_src", 2),
         nrows=data.get(f"nrows_{split}"),
-        segment=data.get("segment") if split != "test" else data.get("segment"),
+        segment=data.get("segment") if split != "test" else None,
         seed=data.get("seed", 0),
         cache_wav=cache_wav,
     )

@@ -46,14 +46,25 @@ def main(argv=None):
 
         from tss_dprnn_tpu.parallel import make_mesh
 
-        avail = jax.device_count()
+        # Eval is HOST-LOCAL on multi-host runs: BucketedEvalLoader already
+        # gives each host a disjoint slice of the batch plan (batches differ
+        # in bucket shape across hosts, so a cross-host global batch cannot
+        # exist). Each process shards over its own devices and writes to its
+        # own proc<i> savedir; aggregate the per-host all_metrics.csv after.
+        local = jax.local_devices()
+        avail = len(local)
         n_dp = avail if n_dp == 0 else n_dp
         if n_dp > 1:
             if args.batch_size % n_dp:
                 parser.error(f"--batch-size {args.batch_size} must be divisible "
                              f"by the data-parallel degree {n_dp}")
-            mesh = make_mesh(data=n_dp)
-            logger.info("Sharded eval over %d devices.", n_dp)
+            mesh = make_mesh(data=n_dp, devices=local)
+            if jax.process_count() > 1:
+                import os
+
+                config["test_savedir"] = os.path.join(
+                    config.get("test_savedir", "."), f"proc{jax.process_index()}")
+            logger.info("Sharded eval over %d local devices.", n_dp)
     inferencer = InferencerClass(model, config, logger=logger, reporter=reporter, mesh=mesh)
     final = inferencer.run(test_set, batch_size=args.batch_size, n_buckets=args.n_buckets)
     logger.info("FINAL: %s", final)

@@ -533,7 +533,7 @@ def lstm_time_major_available(bidirectional: bool, lengths) -> bool:
         and lengths is None
         and _LSTM_BACKEND.get() == "pallas"
         and _LSTM_SAVE_EVERY.get() <= 1
-        and bool(os.environ.get("TSS_TM"))
+        and os.environ.get("TSS_TM", "0") == "1"
     )
 
 

@@ -63,11 +63,17 @@ def shard_batch(batch: Any, mesh: Mesh):
     """device_put a dict/pytree of numpy batch arrays with axis-0 sharded
     over ``data`` (scalars and rank-0 leaves replicate).
 
-    Multi-host: each host passes only its LOCAL rows (the per-host slice the
-    loader yields, SURVEY.md §5.8); ``jax.make_array_from_process_local_data``
-    assembles the global [B_global, ...] array across hosts. Single-host this
-    reduces to a plain device_put."""
-    multihost = jax.process_count() > 1
+    Cross-host assembly happens only when ``mesh`` itself spans processes
+    (training's global mesh): each host passes only its LOCAL rows (the
+    per-host slice TrainLoader yields, SURVEY.md §5.8) and
+    ``jax.make_array_from_process_local_data`` assembles the global
+    [B_global, ...] array. A host-local mesh (multi-host EVAL, where
+    BucketedEvalLoader gives each host disjoint whole batches and loops
+    host-locally with no collectives) takes the plain device_put path even
+    when other processes exist."""
+    multihost = jax.process_count() > 1 and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
 
     def put(leaf):
         import numpy as np

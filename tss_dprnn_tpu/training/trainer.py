@@ -139,14 +139,17 @@ class Trainer:
 
                 treedef = jax.tree.structure(state.opt_state)
                 template = jax.tree.leaves(state.opt_state)
+                # count check BEFORE the zip: zip would silently truncate a
+                # checkpoint with MORE leaves (e.g. saved with clip_norm
+                # state, resumed without) into positionally-wrong slots
+                assert len(extras["opt_leaves"]) == len(template), (
+                    f"checkpoint opt_state has {len(extras['opt_leaves'])} leaves, "
+                    f"optimizer expects {len(template)} — config mismatch"
+                )
                 leaves = [
                     jnp.asarray(np.asarray(saved), t.dtype)
                     for saved, t in zip(extras["opt_leaves"], template)
                 ]
-                assert len(leaves) == len(template), (
-                    f"checkpoint opt_state has {len(extras['opt_leaves'])} leaves, "
-                    f"optimizer expects {len(template)} — config mismatch"
-                )
                 state = state.replace(
                     opt_state=jax.tree.unflatten(treedef, leaves),
                     step=jnp.asarray(int(extras.get("step", 0)), jnp.int32),

@@ -10,6 +10,7 @@ optimizer section's ``_target_`` is ignored in favor of its lr/weight_decay.
 from __future__ import annotations
 
 import copy
+import re
 from typing import Any, Dict, List, Optional
 
 import yaml
@@ -25,17 +26,18 @@ def load_config(path: str, overrides: Optional[List[str]] = None) -> Dict[str, A
     return config
 
 
+_SCI_FLOAT = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)[eE][+-]?\d+$")
+
+
 def _parse_override(raw: str) -> Any:
-    """YAML-parse an override value, with numeric fallback: YAML 1.1 needs a
-    dot or exponent sign to read scientific notation, so ``--set lr=5e-4``
-    would otherwise silently become the STRING '5e-4'."""
+    """YAML-parse an override value, patching YAML 1.1's one numeric gap:
+    bare scientific notation (``--set lr=5e-4``) parses as a STRING because
+    YAML 1.1 floats require a dot. Only that exact shape is coerced —
+    blanket int()/float() fallback would mangle intentional strings
+    (``name=007`` -> 7, and int() accepts underscores: ``tag=1_2`` -> 12)."""
     value = yaml.safe_load(raw)
-    if isinstance(value, str):
-        for conv in (int, float):
-            try:
-                return conv(value)
-            except ValueError:
-                pass
+    if isinstance(value, str) and _SCI_FLOAT.match(value):
+        return float(value)
     return value
 
 
@@ -60,10 +62,13 @@ def apply_jax_settings(config: Dict[str, Any]) -> None:
     overhead; set ``jax.compilation_cache_dir: null`` there."""
     import os
 
-    import jax
-
     jc = config.get("jax") or {}
     cache_dir = jc.get("compilation_cache_dir", DEFAULT_COMPILE_CACHE)
+    if not (cache_dir or jc.get("platforms") or jc.get("distributed")):
+        return  # nothing to set — don't pay the jax import (pure-data CLIs)
+
+    import jax
+
     if cache_dir:
         cache_dir = os.path.expanduser(cache_dir)
         os.makedirs(cache_dir, exist_ok=True)

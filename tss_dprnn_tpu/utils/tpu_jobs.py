@@ -83,14 +83,33 @@ def reap_tpu_jobs(grace_s: float = 15.0, log=print) -> list:
                 os.remove(path)
             continue
         log(f"# reaping registered TPU job {fn} (pid {pid}) before benchmarking")
-        with contextlib.suppress(OSError):
+        # "unkillable" must key on EPERM from the kill itself: a reaped-but-
+        # unwaited child is a zombie for which kill(pid, 0) still succeeds,
+        # so post-kill aliveness cannot distinguish dead from other-uid
+        unkillable = False
+        try:
             os.kill(pid, signal.SIGTERM)
-        deadline = time.monotonic() + grace_s
-        while time.monotonic() < deadline and _pid_alive(pid):
-            time.sleep(0.5)
-        if _pid_alive(pid):
-            with contextlib.suppress(OSError):
-                os.kill(pid, signal.SIGKILL)
+        except PermissionError:
+            unkillable = True
+        except OSError:
+            pass  # already gone
+        if not unkillable:
+            deadline = time.monotonic() + grace_s
+            while time.monotonic() < deadline and _pid_alive(pid):
+                time.sleep(0.5)
+            if _pid_alive(pid):
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                except PermissionError:
+                    unkillable = True
+                except OSError:
+                    pass
+        if unkillable:
+            # keep the registry file so a later reap can retry, and tell the
+            # caller the chip is NOT free
+            log(f"# WARNING: could not kill TPU job {fn} (pid {pid}) — "
+                "it may still share the chip with this measurement")
+            continue
         killed.append(pid)
         with contextlib.suppress(OSError):
             os.remove(path)
