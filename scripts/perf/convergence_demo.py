@@ -68,26 +68,46 @@ def _utterance(rng, f0, profile, T):
     return 0.35 * x / (np.max(np.abs(x)) + 1e-9)
 
 
-def make_corpus(root, n_mix, min_sec=3.2, max_sec=5.0, seed=0):
-    """Speaker-consistent LibriMix-layout corpus; returns csv_path."""
+def make_corpus(root, n_mix, min_sec=3.2, max_sec=5.0, seed=0, n_src=2, noisy=False):
+    """Speaker-consistent LibriMix-layout corpus; returns csv_path.
+
+    ``n_src=3`` emits a Libri3Mix-style corpus (three-speaker mixtures — the
+    reference's published final_metrics_attention_libri3mix.json condition);
+    ``noisy=True`` emits a ``mix_both`` corpus whose mixture carries a
+    band-limited WHAM-style noise floor on top of the sources (the
+    final_metrics_attention_noisy.json condition)."""
     rng = np.random.default_rng(seed)
     f0s, profiles = _speaker_bank(np.random.default_rng(12345))  # bank fixed across splits
-    os.makedirs(f"{root}/mix_clean", exist_ok=True)
-    os.makedirs(f"{root}/s1", exist_ok=True)
-    os.makedirs(f"{root}/s2", exist_ok=True)
+    mix_dir = "mix_both" if noisy else "mix_clean"
+    os.makedirs(f"{root}/{mix_dir}", exist_ok=True)
+    for j in range(n_src):
+        os.makedirs(f"{root}/s{j + 1}", exist_ok=True)
     rows, utt_counter = [], {}
     for i in range(n_mix):
-        spks = rng.choice(N_SPK, size=2, replace=False)
+        spks = rng.choice(N_SPK, size=n_src, replace=False)
         T = int(SR * rng.uniform(min_sec, max_sec))
         utts, srcs = [], []
         for j, k in enumerate(spks):
             spk_id = 1000 + k
             utt_counter[spk_id] = utt_counter.get(spk_id, 0) + 1
             utts.append(f"{spk_id}-{(j + 1) * 100 + i}-{utt_counter[spk_id]:04d}")
-            srcs.append(_utterance(rng, f0s[k], profiles[k], T))
-        mix = (srcs[0] + srcs[1]).astype(np.float32)
+            # keep mixture headroom constant as n_src grows
+            srcs.append(_utterance(rng, f0s[k], profiles[k], T) * (2.0 / n_src))
+        mix = np.sum(srcs, axis=0, dtype=np.float32)
+        if noisy:
+            # band-limited noise (one-pole lowpass white) at ~8 dB SNR vs the
+            # speech mixture — target stays the clean source, so the model
+            # must jointly separate and denoise, like training on mix_both
+            from scipy.signal import lfilter
+
+            w = rng.standard_normal(T).astype(np.float32)
+            a = 0.85  # one-pole lowpass, ~430 Hz corner at 8 kHz
+            noise = lfilter([1.0 - a], [1.0, -a], w).astype(np.float32)
+            snr_amp = np.sqrt(np.mean(mix**2) / (np.mean(noise**2) + 1e-12)
+                              / 10.0 ** (8.0 / 10.0))
+            mix = (mix + snr_amp * noise).astype(np.float32)
         stem = "_".join(utts)
-        mix_path = f"{root}/mix_clean/{stem}.wav"
+        mix_path = f"{root}/{mix_dir}/{stem}.wav"
         wav.write(mix_path, mix, SR)
         row = dict(mixture_ID=stem, mixture_path=mix_path, length=T)
         for j, s in enumerate(srcs):
@@ -121,22 +141,27 @@ def model_cfg(variant):
 
 
 def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, lr,
-                fast=True, seed=0, tag=""):
+                fast=True, seed=0, tag="", n_src=2, noisy=False):
     import yaml
 
     from tss_dprnn_tpu.cli import generate_manifests, test as test_cli, train as train_cli
 
     mode = {"bss": "bss", "rawnet": "tss_rawnet"}.get(variant, "tss_spe")
     spe = mode != "bss"
-    vdir = os.path.join(workdir, variant + (f"_{tag}" if tag else ""))
+    if not spe and n_src != 2:
+        raise SystemExit("bss is 2-source (reference parity); use a tss variant for 3mix")
+    scenario = [s for s in (f"{n_src}mix" if n_src != 2 else "",
+                            "noisy" if noisy else "", tag) if s]
+    vdir = os.path.join(workdir, "_".join([variant] + scenario) if scenario else variant)
     os.makedirs(vdir, exist_ok=True)
-    train_csv = make_corpus(os.path.join(vdir, "wav_train"), n_train, seed=1)
-    eval_csv = make_corpus(os.path.join(vdir, "wav_eval"), n_eval, seed=2)
-    test_csv = make_corpus(os.path.join(vdir, "wav_test"), n_test, seed=3)
+    corpus = dict(n_src=n_src, noisy=noisy)
+    train_csv = make_corpus(os.path.join(vdir, "wav_train"), n_train, seed=1, **corpus)
+    eval_csv = make_corpus(os.path.join(vdir, "wav_eval"), n_eval, seed=2, **corpus)
+    test_csv = make_corpus(os.path.join(vdir, "wav_test"), n_test, seed=3, **corpus)
 
     gen_cfg = dict(
         dataset_type="librimix_spe" if spe else "librimix",
-        sample_rate=SR, n_src=2, segment=3, seed=0,
+        sample_rate=SR, n_src=n_src, segment=3, seed=0,
         train_path=train_csv, eval_path=eval_csv, test_path=test_csv,
         train_out=f"{vdir}/m/train.json", eval_out=f"{vdir}/m/eval.json",
         test_out=f"{vdir}/m/test.json",
@@ -179,7 +204,7 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
     test_s = time.perf_counter() - t0
 
     final = json.load(open(f"{vdir}/metrics/final_metrics.json"))
-    return dict(variant=variant + (f" ({tag})" if tag else ""),
+    return dict(variant=variant + (f" ({', '.join(scenario)})" if scenario else ""),
                 epochs=epochs, n_train=n_train,
                 si_sdr=round(final["si_sdr"], 2),
                 si_sdr_imp=round(final["si_sdr_imp"], 2),
@@ -208,6 +233,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0, help="model-init + shuffle seed")
     ap.add_argument("--tag", default="", help="label suffix for retry rows (own workdir)")
+    ap.add_argument("--n-src", type=int, default=2, choices=[2, 3],
+                    help="3 = Libri3Mix-style three-speaker mixtures (tss only)")
+    ap.add_argument("--noisy", action="store_true",
+                    help="mix_both corpus: band-limited noise floor in the mixture")
     ap.add_argument("--workdir", default="/tmp/tss_convergence")
     ap.add_argument("--no-fast", action="store_true",
                     help="fp32 + XLA scan path (for CPU runs)")
@@ -219,7 +248,8 @@ def main():
     with register_tpu_job(f"convergence_{args.variant}"):
         res = run_variant(args.variant, args.workdir, args.epochs, args.n_train,
                           args.n_eval, args.n_test, args.batch_size, args.lr,
-                          fast=not args.no_fast, seed=args.seed, tag=args.tag)
+                          fast=not args.no_fast, seed=args.seed, tag=args.tag,
+                          n_src=args.n_src, noisy=args.noisy)
     print(json.dumps(res))
     if not args.no_doc:
         doc = os.path.join(REPO, "CONVERGENCE.md")

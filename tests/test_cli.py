@@ -73,6 +73,60 @@ def test_cli_full_workflow(tmp_path):
     assert set(saved) == {"si_sdr", "si_sdr_imp", "stoi", "stoi_imp"}
 
 
+def test_cli_workflow_3mix_noisy(tmp_path):
+    """The reference's two extra published eval conditions, combined, through
+    the full CLI workflow at toy size: a Libri3Mix-style three-speaker corpus
+    (final_metrics_attention_libri3mix.json) whose mixtures also carry a
+    mix_both noise floor (final_metrics_attention_noisy.json). Exercises the
+    n_src=3 spe manifest (target pick among 3 speakers) end to end —
+    training, bucketed eval, and the metrics schema."""
+    csv = make_mini_librimix(str(tmp_path / "wavs"), n_mix=8, min_sec=1.0,
+                             max_sec=1.5, n_src=3, noisy=True)
+    assert "mix_both" in csv or "mix_both" in open(csv).read()
+
+    gen_cfg = dict(
+        dataset_type="librimix_spe", sample_rate=8000, n_src=3, segment=0.5, seed=0,
+        train_path=csv, test_path=csv,
+        train_out=str(tmp_path / "m/train.json"),
+        test_out=str(tmp_path / "m/test.json"),
+    )
+    p = tmp_path / "gen.yaml"
+    p.write_text(yaml.safe_dump(gen_cfg))
+    generate_manifests.main(["--config", str(p)])
+    entries = json.loads((tmp_path / "m/train.json").read_text())["entries"]
+    assert all(len(e["source_paths"]) == 3 for e in entries)
+
+    train_cfg = dict(
+        name="t3", is_test=False,
+        data=dict(use_generated_train=str(tmp_path / "m/train.json"),
+                  use_generated_eval=str(tmp_path / "m/train.json"),
+                  batch_size=4, sample_rate=8000, seed=0),
+        model=TINY_MODEL,
+        optimizer=dict(lr=1e-3, weight_decay=1e-5),
+        lr_scheduler=dict(patience=2, factor=0.5, decay_rate=None),
+        logs=dict(metadata=dict(ids=[])),
+        print_freq=100, clip_norm=5, cur_epoch=0, epochs=1, early_stop=10,
+        ce_gamma=0.5, checkpoint_path=None, n_checkpoints=5,
+        new_checkpoints_path=str(tmp_path / "chkpts"),
+    )
+    p = tmp_path / "train.yaml"
+    p.write_text(yaml.safe_dump(train_cfg))
+    train_cli.main(["--config", str(p), "--mode", "tss_spe"])
+    best = [c for c in (tmp_path / "chkpts").iterdir() if "best" in c.name][0]
+
+    test_cfg = dict(
+        name="e3", is_test=True,
+        data=dict(use_generated_test=str(tmp_path / "m/test.json"), sample_rate=8000),
+        model=TINY_MODEL, checkpoint_path=str(best),
+        test_savedir=str(tmp_path / "metrics"), metrics=["si_sdr"],
+    )
+    p = tmp_path / "test.yaml"
+    p.write_text(yaml.safe_dump(test_cfg))
+    final = test_cli.main(["--config", str(p), "--mode", "tss_spe",
+                           "--batch-size", "4", "--n-buckets", "2"])
+    assert np.isfinite(final["si_sdr"]) and np.isfinite(final["si_sdr_imp"])
+
+
 def test_cli_test_data_parallel(tmp_path):
     """test CLI --data-parallel N: sharded eval over an N-device mesh gives
     the same final metrics as the single-chip path."""
