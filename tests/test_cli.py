@@ -232,6 +232,52 @@ def test_cli_separate_single_file(tmp_path):
     assert rate == sr and len(est) == len(mix) and np.isfinite(est).all()
 
 
+def test_cli_separate_rawnet_ref_resample(tmp_path):
+    """cli.separate --mode tss_rawnet: the speaker reference arrives at the
+    mixture rate (8 kHz) and must be polyphase-resampled to the RawNet3
+    front-end's 16 kHz before the forward (reference feeds RawNet 16 kHz
+    audio, src/models/dprnn_rawnet.py)."""
+    import jax
+
+    from tss_dprnn_tpu.cli import separate as separate_cli
+    from tss_dprnn_tpu.data import wav
+    from tss_dprnn_tpu.models.registry import build_model
+    from tss_dprnn_tpu.utils.checkpoint import CheckpointManager, to_pure_tree
+
+    sr = 8000
+    rng = np.random.default_rng(0)
+    mix = (0.3 * rng.standard_normal(int(1.5 * sr))).astype(np.float32)
+    ref = (0.3 * rng.standard_normal(int(1.0 * sr))).astype(np.float32)  # 8 kHz!
+    wav.write(str(tmp_path / "mix.wav"), mix, sr)
+    wav.write(str(tmp_path / "ref.wav"), ref, sr)
+
+    model_cfg = dict(
+        target="dprnn_rawnet_tasnet", input_size=8, feature_size=12,
+        hidden_size=10, chunk_length=40, kernel_size=2, hop_length=20,
+        n_repeats=1, norm_type="ln", embeddings_size=8, num_spks=8,
+        fusion_type="att", rawnet_C=32, rawnet_scale=4, rawnet_sinc_stride=16,
+    )
+    model = build_model(dict(model_cfg))
+    z8 = np.zeros((1, sr), np.float32)
+    z16 = np.zeros((1, 2 * sr), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), z8, z16)
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    ckpt = ck.save(1, {"epoch": 1, "params": to_pure_tree(variables["params"]),
+                       "batch_stats": to_pure_tree(variables.get("batch_stats", {}))},
+                   best=True)
+
+    cfg = dict(name="sr", is_test=True, data=dict(sample_rate=sr),
+               model=model_cfg, checkpoint_path=ckpt)
+    p = tmp_path / "sep_rawnet.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    separate_cli.main(["--config", str(p), "--mode", "tss_rawnet",
+                       "--mix", str(tmp_path / "mix.wav"),
+                       "--ref", str(tmp_path / "ref.wav"),
+                       "--out", str(tmp_path / "target.wav")])
+    est, rate = wav.read(str(tmp_path / "target.wav"))
+    assert rate == sr and len(est) == len(mix) and np.isfinite(est).all()
+
+
 def test_dataset_for_test_split_ignores_segment(tmp_path):
     """The test split must evaluate FULL-LENGTH utterances even when the
     config carries a training segment (reference freezes its test set with
