@@ -126,3 +126,25 @@ def test_degradation_battery_monotone():
     ):
         scores = [mos(d) for d in fam]
         assert all(top >= a >= b - 1e-9 for a, b in zip([top] + scores, scores)), scores
+
+
+def test_battery_absolute_windows():
+    """Absolute calibration pins (PARITY.md error envelope): the additive
+    -noise curve must track published P.862 behavior, and band-limiting must
+    stay inside ITU-typical windows — the latter is what the in-domain
+    _FREQ_COMP_OFFSET re-scale buys (with the raw ITU +1000 cushion the
+    compensation erased missing-band loudness: LP 1 kHz scored 4.16)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from scripts.perf.pesq_battery import lowpass, speech_like, with_snr
+
+    fs = 8000
+    ref = speech_like(fs)
+    # published narrowband SNR curve ~= 4.0 / 3.4 / 2.6 / 2.0
+    for snr, published in ((35, 4.0), (25, 3.4), (15, 2.6), (5, 2.0)):
+        assert pesq(fs, ref, with_snr(ref, snr)) == pytest.approx(published, abs=0.25)
+    # ITU-typical band-limit windows (PARITY.md)
+    assert 3.3 <= pesq(fs, ref, lowpass(ref, fs, 3400)) <= 4.56
+    assert 2.4 <= pesq(fs, ref, lowpass(ref, fs, 2000)) <= 4.3
+    assert 1.6 <= pesq(fs, ref, lowpass(ref, fs, 1000)) <= 3.6

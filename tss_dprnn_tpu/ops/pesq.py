@@ -31,8 +31,12 @@ reproducible here, so the 42 (nb) / 49 (wb) Bark bands are derived from the
 traditional Bark transform with uniform Bark spacing, and the absolute
 hearing threshold from Terhardt's formula. Identical signals score exactly
 4.5 raw (== 4.549 MOS-LQO nb, matching the ITU implementation), and scores
-are monotonic in distortion (tests/test_pesq.py); absolute values on mid-range
-degradations can deviate from the ITU binary by a few tenths of a MOS point.
+are monotonic in distortion (tests/test_pesq.py). Measured error envelope
+(scripts/perf/pesq_battery.py, PARITY.md): additive noise tracks the
+published P.862 curve within ~0.1 MOS; band-limiting lands inside the
+ITU-typical windows after the in-domain cushion re-scale (see
+_FREQ_COMP_OFFSET below); hard clipping and very coarse companding remain
+lenient by up to ~+1 MOS at the extremes.
 """
 
 from __future__ import annotations
@@ -57,6 +61,23 @@ _LOUDNESS_SCALE = 0.35
 _D_WEIGHT = 0.1
 _DA_WEIGHT = 0.0309
 _DATA_PADDING_SEC = 0.32
+# Cushion offsets of the partial compensations and the asymmetry ratio.
+# P.862 defines these as +1000 (freq response), +5e3 (short-term gain) and
+# +50 (asymmetry) in ITS pitch-power-density domain. This implementation's
+# SPL-power domain runs ~1e4 hotter (typical active-band densities 1e6-5e7
+# here vs ~1e3-1e4 in the ITU domain), so the frequency-response cushion is
+# re-scaled in-domain: with the raw +1000, a band-killing degradation drives
+# the compensation ratio straight into its 0.01 clip and the compensation
+# erases most of the missing-band loudness — scoring band-limits ~+1.5 MOS
+# lenient. 3e7 (~1000 x the domain ratio, selected on the calibration
+# battery) restores ITU-like band-limit penalties while leaving the additive
+# -noise anchor curve unchanged; see PARITY.md / scripts/perf/pesq_battery.py.
+# The gain/asymmetry offsets stay at the ITU values: both are near-zero
+# cushions in either domain (battery-verified that domain-scaling them only
+# degrades the noise anchors).
+_FREQ_COMP_OFFSET = 3e7
+_GAIN_OFFSET = 5e3
+_ASYM_OFFSET = 50.0
 
 # IRS receive characteristic, (Hz, dB) breakpoints, linearly interpolated in
 # log-frequency; applied to both signals in narrowband mode.
@@ -223,13 +244,15 @@ def _lp(x: np.ndarray, w: np.ndarray, p: float) -> np.ndarray:
     return (np.sum(wn[None, :] * np.abs(x) ** p, axis=-1)) ** (1.0 / p)
 
 
-def _raw_pesq(ref: np.ndarray, deg: np.ndarray, fs: int) -> float:
+def _disturbances(ref: np.ndarray, deg: np.ndarray, fs: int) -> Tuple[float, float]:
+    """(D, DA): aggregated symmetric / asymmetric disturbance of the
+    (preprocessed, aligned, padded) signal pair."""
     _, _, width_bark, abs_thresh, _ = _band_layout(fs)
     pp_ref = _pitch_power_densities(ref, fs)
     pp_deg = _pitch_power_densities(deg, fs)
     n = min(len(pp_ref), len(pp_deg))
     if n == 0:
-        return 4.5
+        return 0.0, 0.0
     pp_ref, pp_deg = pp_ref[:n], pp_deg[:n]
 
     # silent frames: > 35 dB below the nominal listening level
@@ -237,18 +260,18 @@ def _raw_pesq(ref: np.ndarray, deg: np.ndarray, fs: int) -> float:
     silent = total_ref < 10.0 ** ((_LISTENING_LEVEL_DB - 35.0) / 10.0)
     speech = ~silent
     if not np.any(speech):
-        return 4.5
+        return 0.0, 0.0
 
     # partial compensation of the linear frequency response (applied to ref)
     avg_ref = pp_ref[speech].mean(axis=0)
     avg_deg = pp_deg[speech].mean(axis=0)
-    band_ratio = np.clip((avg_deg + 1000.0) / (avg_ref + 1000.0), 0.01, 100.0)
+    band_ratio = np.clip((avg_deg + _FREQ_COMP_OFFSET) / (avg_ref + _FREQ_COMP_OFFSET), 0.01, 100.0)
     pp_ref_c = pp_ref * band_ratio[None, :]
 
     # partial compensation of short-term gain (applied to deg, smoothed)
     aud_ref = _total_audible(pp_ref_c, abs_thresh, 1.0)
     aud_deg = _total_audible(pp_deg, abs_thresh, 1.0)
-    ratio = (aud_ref + 5e3) / (aud_deg + 5e3)
+    ratio = (aud_ref + _GAIN_OFFSET) / (aud_deg + _GAIN_OFFSET)
     gain = np.empty(n)
     g = 1.0
     for i in range(n):
@@ -265,7 +288,7 @@ def _raw_pesq(ref: np.ndarray, deg: np.ndarray, fs: int) -> float:
     d = np.sign(d) * np.maximum(np.abs(d) - m, 0.0)
 
     # asymmetry factor
-    asym = ((pp_deg_c + 50.0) / (pp_ref_c + 50.0)) ** 1.2
+    asym = ((pp_deg_c + _ASYM_OFFSET) / (pp_ref_c + _ASYM_OFFSET)) ** 1.2
     asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
 
     d_frame = _lp(d, width_bark, 3.0)
@@ -283,7 +306,12 @@ def _raw_pesq(ref: np.ndarray, deg: np.ndarray, fs: int) -> float:
         vals = [np.mean(x[s : s + 20] ** 6.0) ** (1.0 / 6.0) for s in starts]
         return float(np.sqrt(np.mean(np.square(vals))))
 
-    return 4.5 - _D_WEIGHT * _aggregate(d_frame) - _DA_WEIGHT * _aggregate(da_frame)
+    return _aggregate(d_frame), _aggregate(da_frame)
+
+
+def _raw_pesq(ref: np.ndarray, deg: np.ndarray, fs: int) -> float:
+    d, da = _disturbances(ref, deg, fs)
+    return 4.5 - _D_WEIGHT * d - _DA_WEIGHT * da
 
 
 # ------------------------------------------------------------------ public API
