@@ -185,3 +185,38 @@ def test_pallas_backend_grads_ragged_time(rng, monkeypatch):
         g_p = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
     for a, b in zip(jax.tree_util.tree_leaves(g_x), jax.tree_util.tree_leaves(g_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
+
+def test_pallas_backend_grads_row_tail(rng, monkeypatch):
+    """Row counts with 128 < Rp < 256 (not a multiple of 128) exercise the
+    bilstm2 backward's row-tile divisor fallback: its VMEM-motivated 128-row
+    tile does not divide the resid forward's Rp there, and a truncated grid
+    (Rp // tile) silently dropped the tail rows' gradients (dx rows
+    uninitialized, dW missing contributions)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    B, T, F, H = 150, 10, 8, 8  # Rp = 152
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    tgt = rng.standard_normal((B, T, 2 * H)).astype(np.float32)
+
+    def weights(seed):
+        r = np.random.default_rng(seed)
+        return rnn.LSTMWeights(
+            (r.standard_normal((F, 4 * H)) * 0.3).astype(np.float32),
+            (r.standard_normal((H, 4 * H)) * 0.3).astype(np.float32),
+            (r.standard_normal(4 * H) * 0.1).astype(np.float32),
+        )
+
+    fwd, bwd = weights(1), weights(2)
+
+    def loss(x, fwd, bwd):
+        return jnp.sum((rnn.lstm(x, fwd, bwd) - tgt) ** 2)
+
+    g_x = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+    with rnn.lstm_backend("pallas"):
+        g_p = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+    for a, b in zip(jax.tree_util.tree_leaves(g_x), jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)

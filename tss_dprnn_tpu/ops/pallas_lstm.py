@@ -1243,6 +1243,13 @@ def bilstm2_backward_tm(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0k, g1k,
     # (2x x, 2x3 resid, 2 g, 2 dx) — 256-row tiles overflow the 16 MB VMEM
     # scoped limit in fp32 (measured: 16.5 MB)
     tile = min(128, Rp)
+    if Rp % tile:
+        # the resid forward (_RESID_ROW_TILE=256) pads Rp only to a multiple
+        # of 8 when R <= 256, so 128 need not divide Rp; truncating the grid
+        # (Rp // tile) would silently drop the tail rows' gradients. Fall
+        # back to the largest multiple-of-8 divisor of Rp (Rp is always a
+        # multiple of 8, so 8 itself always qualifies).
+        tile = next(c for c in range(tile - tile % 8, 7, -8) if Rp % c == 0)
     r_tiles = Rp // tile
     n_t = Tp // u
     grid = (r_tiles, n_t)
