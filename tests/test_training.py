@@ -193,6 +193,41 @@ def test_exact_resume_bitwise(tmp_path):
     assert int(t_full.state.step) == int(t_b.state.step)
 
 
+def test_resume_optimizer_mismatch_is_hard_error(tmp_path):
+    """Exact-resume opt_state is NAME-KEYED (tree paths, trainer.opt_path_key):
+    resuming under an optimizer config whose opt_state has the same LEAF COUNT
+    but different tree paths (here: clip_norm dropped — ClipState is an
+    EmptyState, so the positional leaf list would restore Adam's moments into
+    silently-wrong slots) must be a hard, explicit error."""
+    csv = make_mini_librimix(str(tmp_path), n_mix=8, min_sec=1.0, max_sec=1.5)
+    ds = Librimix(csv_path=csv, segment=0.5)
+
+    def mk():
+        return TrainLoader(ds, batch_size=4, collate_fn=collate_bss, seed=0, prefetch=0)
+
+    cfg = _config(tmp_path)
+    cfg["new_checkpoints_path"] = str(tmp_path / "ck")
+    cfg["save_optimizer"] = True
+    mesh = make_mesh(data=4)
+    t_a = Trainer(DPRNNTasNet(**TINY), cfg, mesh=mesh, seed=0)
+    t_a.run(mk(), mk(), n_epochs=1, early_stop=10)
+    n_leaves = len(jax.tree.leaves(t_a.state.opt_state))
+
+    cfg2 = _config(tmp_path)
+    cfg2["new_checkpoints_path"] = str(tmp_path / "ck2")
+    cfg2["save_optimizer"] = True
+    cfg2["clip_norm"] = None  # same leaf count, different opt_state paths
+    cfg2["checkpoint_path"] = str(tmp_path / "ck" / "1_last")
+    t_b = Trainer(DPRNNTasNet(**TINY), cfg2, mesh=mesh, seed=0)
+    with pytest.raises(ValueError, match="opt_state does not match"):
+        t_b.run(mk(), mk(), n_epochs=2, early_stop=10)
+    # the scenario really is leaf-count-preserving (the silent-wrong case)
+    from tss_dprnn_tpu.training.train_state import make_optimizer
+
+    tx2 = make_optimizer(1e-3, weight_decay=1e-5, clip_norm=None)
+    assert len(jax.tree.leaves(tx2.init(jax.device_get(t_a.state.params)))) == n_leaves
+
+
 def test_is_metrics_epoch_summary(tmp_path):
     """is_metrics: true accumulates per-utterance host metrics during training
     and reports the epoch means (the reference's path crashes with an

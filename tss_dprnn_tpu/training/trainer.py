@@ -28,6 +28,27 @@ from tss_dprnn_tpu.utils.checkpoint import CheckpointManager, load_checkpoint_va
 from tss_dprnn_tpu.utils.logging_util import get_logger
 
 
+def opt_path_key(path) -> str:
+    """Stable tree-path key for one opt_state leaf, e.g.
+    ``inner_state.2.mu.separation.core.blocks_0.intra_rnn.w_ih_f``.
+    Used to serialize opt_state as {path: array} instead of a positional
+    leaf list — a resumed run then restores each moment into the slot with
+    the SAME MEANING, and an optimizer-config change that merely preserves
+    leaf count while reordering/renaming leaves is a hard error instead of
+    a silently-wrong restore."""
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:  # pragma: no cover - future jax key types
+            parts.append(str(p))
+    return ".".join(parts)
+
+
 class Trainer:
     """BSS trainer: PIT SI-SDR loss over [B, 2, T] (reference trainer.py:39,104)."""
 
@@ -134,24 +155,41 @@ class Trainer:
             if "cur_epoch" not in self.config or self.config.get("cur_epoch") in (None, 0):
                 self.cur_epoch = loaded["epoch"]
             extras = loaded.get("extras") or {}
-            if self.save_optimizer and extras.get("opt_leaves") is not None:
+            has_opt = extras.get("opt_named") is not None or extras.get("opt_leaves") is not None
+            if self.save_optimizer and has_opt:
                 import jax.numpy as jnp
 
-                treedef = jax.tree.structure(state.opt_state)
-                template = jax.tree.leaves(state.opt_state)
-                # count check BEFORE the zip: zip would silently truncate a
-                # checkpoint with MORE leaves (e.g. saved with clip_norm
-                # state, resumed without) into positionally-wrong slots
-                assert len(extras["opt_leaves"]) == len(template), (
-                    f"checkpoint opt_state has {len(extras['opt_leaves'])} leaves, "
-                    f"optimizer expects {len(template)} — config mismatch"
-                )
+                flat, treedef = jax.tree_util.tree_flatten_with_path(state.opt_state)
+                named = extras.get("opt_named")
+                if named is not None:
+                    # name-keyed restore: every template leaf fetched by its
+                    # tree path; missing/extra keys are a hard, explicit error
+                    expect = [opt_path_key(p) for p, _ in flat]
+                    missing = [k for k in expect if k not in named]
+                    extra = sorted(set(named) - set(expect))
+                    if missing or extra:
+                        raise ValueError(
+                            "checkpoint opt_state does not match the optimizer "
+                            f"config — missing keys: {missing[:5]}{'...' if len(missing) > 5 else ''}, "
+                            f"unexpected keys: {extra[:5]}{'...' if len(extra) > 5 else ''}"
+                        )
+                    saved_seq = [named[k] for k in expect]
+                else:
+                    # legacy positional leaf list (pre round-3 checkpoints):
+                    # count check BEFORE the zip: zip would silently truncate
+                    # a checkpoint with MORE leaves into positionally-wrong
+                    # slots
+                    assert len(extras["opt_leaves"]) == len(flat), (
+                        f"checkpoint opt_state has {len(extras['opt_leaves'])} leaves, "
+                        f"optimizer expects {len(flat)} — config mismatch"
+                    )
+                    saved_seq = extras["opt_leaves"]
                 leaves = [
                     jnp.asarray(np.asarray(saved), t.dtype)
-                    for saved, t in zip(extras["opt_leaves"], template)
+                    for saved, (_, t) in zip(saved_seq, flat)
                 ]
                 state = state.replace(
-                    opt_state=jax.tree.unflatten(treedef, leaves),
+                    opt_state=jax.tree_util.tree_unflatten(treedef, leaves),
                     step=jnp.asarray(int(extras.get("step", 0)), jnp.int32),
                 )
                 if extras.get("scheduler"):
@@ -409,11 +447,16 @@ class Trainer:
             "batch_stats": to_pure_tree(self.state.batch_stats),
         }
         if self.save_optimizer:
-            # exact-resume payload: opt_state as an ordered leaf list (rebuilt
-            # against the fresh optimizer's treedef on load), global step,
-            # lr-scheduler internals, and the run loop's best/no-improve
-            # counters — train(2 epochs) == train(1) + resume(1), bitwise
-            tree["opt_leaves"] = [np.asarray(a) for a in jax.tree.leaves(self.state.opt_state)]
+            # exact-resume payload: opt_state keyed by TREE PATH (restored by
+            # name with a hard error on missing/extra keys — positional slots
+            # can restore silently-wrong moments across optax config changes
+            # that preserve leaf count), global step, lr-scheduler internals,
+            # and the run loop's best/no-improve counters —
+            # train(2 epochs) == train(1) + resume(1), bitwise
+            tree["opt_named"] = {
+                opt_path_key(p): np.asarray(a)
+                for p, a in jax.tree_util.tree_flatten_with_path(self.state.opt_state)[0]
+            }
             tree["step"] = int(self.state.step)
             tree["scheduler"] = self.lr_scheduler.state_dict()
             run_counters = dict(getattr(self, "_run_counters", {}) or {})

@@ -70,7 +70,7 @@ def load_checkpoint_variables(path: str, target_variables=None) -> Dict[str, Any
         # optional exact-resume payload (trainer save_optimizer: true)
         extras = {
             k: tree[k]
-            for k in ("opt_leaves", "step", "scheduler", "run")
+            for k in ("opt_named", "opt_leaves", "step", "scheduler", "run")
             if k in tree and tree[k] is not None
         }
         return {"variables": variables, "epoch": int(tree.get("epoch", 0)),
