@@ -27,16 +27,37 @@ def torch_uniform_init(fan_in: int):
     return init
 
 
+class TorchDense(nn.Module):
+    """Dense with torch nn.Linear's FULL default init: kernel ~ U(±1/√fan_in)
+    (kaiming_uniform(a=√5) == variance_scaling(1/3, fan_in, uniform)) AND
+    bias ~ U(±1/√fan_in) — nn.Dense can't express the bias half because flax
+    bias initializers never see fan_in. Param tree (kernel [in, out] = torch
+    weight.T, bias [out]) and dtype promotion are identical to nn.Dense, so
+    checkpoints and the torch converter are unaffected."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (fan_in, self.features),
+        )
+        if not self.use_bias:
+            x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+            return x @ kernel
+        bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        return x @ kernel + bias
+
+
 def make_dense(features: int, use_bias: bool = True, name: str = None, dtype=None):
-    """torch-initialized nn.Dense (kernel [in, out], so torch weight.T)."""
-    return nn.Dense(
-        features,
-        use_bias=use_bias,
-        kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
-        bias_init=nn.initializers.zeros,
-        name=name,
-        dtype=dtype,
-    )
+    """torch-initialized Dense (kernel [in, out], so torch weight.T)."""
+    return TorchDense(features, use_bias=use_bias, name=name, dtype=dtype)
 
 
 class SplitDense(nn.Module):
@@ -44,7 +65,7 @@ class SplitDense(nn.Module):
     ``o0 @ kernel[:H] + o1 @ kernel[H:] + bias``.
 
     Param tree (kernel [2H, features], bias [features]; same names, shapes,
-    and init as make_dense's nn.Dense) is checkpoint- and init-compatible
+    and init as make_dense's TorchDense) is checkpoint- and init-compatible
     with the concat+Dense formulation — the math is identical because the
     Dense is linear in its input. Skipping the concat matters on TPU: the
     time-major pallas scan outputs live in {2,0,1} minor-to-major, and XLA
@@ -67,7 +88,7 @@ class SplitDense(nn.Module):
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             (self.in_features, self.features),
         )
-        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.bias = self.param("bias", torch_uniform_init(self.in_features), (self.features,))
 
     def __call__(self, o0, o1):
         H = o0.shape[-1]
