@@ -169,11 +169,17 @@ def _norm(x, sd, prefix, norm_type):
 
 
 def _lstm(x, sd, prefix, hidden, bidirectional):
-    m = torch.nn.LSTM(x.shape[-1], hidden, batch_first=True, bidirectional=bidirectional)
-    if x.dtype == torch.float64:  # float64 oracle variant (flagship rawnet)
-        m = m.double()
-    m.load_state_dict({k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)})
-    return m(x)[0]
+    # functional torch.lstm (same kernel nn.LSTM dispatches to) so gradients
+    # flow back into the sd tensors — required by the multi-step training-
+    # trajectory equivalence tests (tests/test_trajectory.py)
+    flat = []
+    for sfx in [""] + (["_reverse"] if bidirectional else []):
+        flat += [sd[prefix + f"weight_ih_l0{sfx}"], sd[prefix + f"weight_hh_l0{sfx}"],
+                 sd[prefix + f"bias_ih_l0{sfx}"], sd[prefix + f"bias_hh_l0{sfx}"]]
+    ndir = 2 if bidirectional else 1
+    h0 = x.new_zeros(ndir, x.shape[0], hidden)
+    out, _, _ = torch.lstm(x, (h0, h0), flat, True, 1, 0.0, False, bidirectional, True)
+    return out
 
 
 def _block(x, sd, prefix, cfg: Cfg):
@@ -228,17 +234,19 @@ def oracle_bss(sd, cfg: Cfg, mix):
     return torch.stack([_decoder(out[:, i], sd, cfg) for i in range(2)], dim=1)
 
 
-def _resblock(x, sd, prefix):
+def _resblock(x, sd, prefix, training=False):
+    # training=True uses batch statistics and updates the running buffers in
+    # place (torch train-mode BN) — the trajectory tests train through this
     y = F.conv1d(x, sd[prefix + "conv1.weight"])
     y = F.batch_norm(
         y, sd[prefix + "batch_norm1.running_mean"], sd[prefix + "batch_norm1.running_var"],
-        sd[prefix + "batch_norm1.weight"], sd[prefix + "batch_norm1.bias"], False, 0.1, 1e-5,
+        sd[prefix + "batch_norm1.weight"], sd[prefix + "batch_norm1.bias"], training, 0.1, 1e-5,
     )
     y = F.prelu(y, sd[prefix + "prelu1.weight"])
     y = F.conv1d(y, sd[prefix + "conv2.weight"])
     y = F.batch_norm(
         y, sd[prefix + "batch_norm2.running_mean"], sd[prefix + "batch_norm2.running_var"],
-        sd[prefix + "batch_norm2.weight"], sd[prefix + "batch_norm2.bias"], False, 0.1, 1e-5,
+        sd[prefix + "batch_norm2.weight"], sd[prefix + "batch_norm2.bias"], training, 0.1, 1e-5,
     )
     if prefix + "conv_downsample.weight" in sd:
         y = y + F.conv1d(x, sd[prefix + "conv_downsample.weight"])
@@ -248,12 +256,12 @@ def _resblock(x, sd, prefix):
     return F.max_pool1d(y, 3)
 
 
-def _spk_encoder(emb, sd, cfg: Cfg, aux_len):
+def _spk_encoder(emb, sd, cfg: Cfg, aux_len, training=False):
     h = F.group_norm(emb, 1, sd["separation.spk_encoder.0.weight"], sd["separation.spk_encoder.0.bias"], eps=1e-5)
     h = F.conv1d(h, sd["separation.spk_encoder.1.weight"], sd["separation.spk_encoder.1.bias"])
-    h = _resblock(h, sd, "separation.spk_encoder.2.")
-    h = _resblock(h, sd, "separation.spk_encoder.3.")
-    h = _resblock(h, sd, "separation.spk_encoder.4.")
+    h = _resblock(h, sd, "separation.spk_encoder.2.", training)
+    h = _resblock(h, sd, "separation.spk_encoder.3.", training)
+    h = _resblock(h, sd, "separation.spk_encoder.4.", training)
     h = F.conv1d(h, sd["separation.spk_encoder.5.weight"], sd["separation.spk_encoder.5.bias"])
     aux_T = (aux_len - cfg.kernel_size) // (cfg.kernel_size // 2) + 1
     aux_T = ((aux_T // 3) // 3) // 3
@@ -287,11 +295,11 @@ def _fusion(aux_v, h, sd, cfg: Cfg, L):
     return h * att
 
 
-def oracle_spe(sd, cfg: Cfg, mix, aux, aux_len):
+def oracle_spe(sd, cfg: Cfg, mix, aux, aux_len, training=False):
     enc = _encoder(mix, sd, cfg)
     emb = _encoder(aux, sd, cfg)
     B, _, L = enc.shape
-    aux_v = _spk_encoder(emb, sd, cfg, aux_len)
+    aux_v = _spk_encoder(emb, sd, cfg, aux_len, training)
     h = _norm(enc, sd, "separation.bottleneck.0.", cfg.norm_type)
     h = _fusion(aux_v, h, sd, cfg, L)
     h = F.conv1d(h, sd["separation.bottleneck.1.weight"], sd["separation.bottleneck.1.bias"])
