@@ -5,6 +5,14 @@ SURVEY.md §2.1) running jitted batched inference on 10-second 8 kHz
 utterances. The north-star target is >=50x realtime per chip (BASELINE.json);
 ``vs_baseline`` is the achieved realtime factor divided by 50.
 
+LANE: the headline measures the MASKED bucketed-eval graph — ``lengths``
+threaded through the norms/scans/fusion, i.e. the exact shape the shipped
+test CLI (Inferencer.run) executes — not a lengths-free demo forward
+(round-2 VERDICT weak #2). Since the mask-aware no-stack scan kernel
+(ops/pallas_lstm.bilstm2_forward_masked, round 3) the masked lane matches
+the unmasked one within noise; ``--unmasked`` benches the lengths-free
+graph for comparison.
+
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 """
@@ -100,18 +108,25 @@ def main():
     # fidelity vs the fp32 XLA parity path — far below the 0.1 dB SI-SDR
     # budget); pass --parity for the fp32 XLA path
     fast = "--parity" not in sys.argv
+    # masked bucketed-eval graph (the shipped test-CLI lane) is the headline;
+    # --unmasked restores the lengths-free forward for A/B
+    masked = "--unmasked" not in sys.argv
     model = DPRNNSpeTasNet(**FLAGSHIP, dtype=jnp.bfloat16 if fast else None)
     backend = "pallas" if fast else "xla"
     rng = np.random.default_rng(0)
     mix = rng.standard_normal((B, T)).astype(np.float32)
     aux = rng.standard_normal((B, T)).astype(np.float32)
     aux_len = np.full((B,), float(T), np.float32)
+    lengths = np.full((B,), T, np.int32)
     variables = model.init(jax.random.PRNGKey(0), mix[:1], aux[:1], aux_len[:1])
 
     @jax.jit
     def fwd(mix, aux, aux_len):
         with rnn_ops.lstm_backend(backend):
-            wav, _ = model.apply(variables, mix, aux, aux_len)
+            if masked:
+                wav, _ = model.apply(variables, mix, aux, aux_len, lengths=lengths)
+            else:
+                wav, _ = model.apply(variables, mix, aux, aux_len)
         return wav
 
     mix_d = jax.device_put(mix)
@@ -131,11 +146,14 @@ def main():
 
     audio_sec = iters * B * secs
     realtime = audio_sec / dt
+    lane = ("masked-bucketed-eval" if masked else "unmasked") + \
+        ("(bf16+pallas)" if fast else "(fp32+xla)")
     print(json.dumps({
         "metric": "separated_audio_sec_per_sec_per_chip",
         "value": round(realtime, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(realtime / 50.0, 3),
+        "lane": lane,
     }))
 
 

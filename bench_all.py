@@ -223,7 +223,10 @@ def main():
     train = "--train" in sys.argv
     masked = "--masked" in sys.argv  # bucketed-eval graph (lengths threaded)
     only = sys.argv[sys.argv.index("--variant") + 1] if "--variant" in sys.argv else None
-    default_batch = 5 if train else (8 if masked else 32)
+    # masked lane runs at the same saturated batches as unmasked since the
+    # mask-aware no-stack kernel (round 3): no [2,B,T,F] stack, no
+    # masked_flip permutation buffers
+    default_batch = 5 if train else 32
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else default_batch
     rows = []
     for v in VARIANTS:

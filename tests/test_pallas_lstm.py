@@ -246,3 +246,48 @@ def test_bilstm2_dense_fused_matches_unfused(rng, monkeypatch):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, fwd, bwd, kernel)
     for a, b in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4)
+
+
+def test_bilstm2_masked_matches_stacked_path(rng, monkeypatch):
+    """Mask-aware no-stack kernel (round 3): dir-1 starts each row's backward
+    scan at its own length in-kernel. On t < len both directions must equal
+    the stacked masked_flip path (what lstm() runs on the XLA backend);
+    dir-1's t >= len region is defined 0. Grads route through the stacked
+    fallback and must match it."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    F = H = 16
+    fwd = _weights(rng, F, H)
+    bwd = _weights(rng, F, H)
+    for T in (16, 11):  # exact-divisor and time-padded grids
+        B = 24
+        x = rng.standard_normal((B, T, F)).astype(np.float32)
+        lens = rng.integers(1, T + 1, size=B).astype(np.int32)
+        lens[0] = T  # include a full-length row
+        ref = np.asarray(rnn.lstm(x, fwd, bwd, lengths=lens))  # xla stacked
+        with rnn.lstm_backend("pallas"):
+            got = np.asarray(rnn.lstm(x, fwd, bwd, lengths=lens))
+        mask = (np.arange(T)[None, :] < lens[:, None])[..., None]
+        np.testing.assert_allclose(np.where(mask, got, 0.0),
+                                   np.where(mask, ref, 0.0),
+                                   atol=2e-5, rtol=2e-5)
+        # dir-1 masked region is exactly zero (held state)
+        np.testing.assert_array_equal(np.where(mask, 0.0, got[..., H:]), 0.0)
+
+    # gradients: the custom VJP runs the stacked path — must match XLA's
+    B, T = 16, 12
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    lens = rng.integers(1, T + 1, size=B).astype(np.int32)
+    m = (np.arange(T)[None, :] < lens[:, None])[..., None].astype(np.float32)
+
+    def loss(x, fwd, bwd):
+        out = rnn.lstm(x, fwd, bwd, lengths=lens)
+        return jnp.sum(jnp.square(out * m))  # cotangent only on valid region
+
+    with rnn.lstm_backend("pallas"):
+        g_pal = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4)

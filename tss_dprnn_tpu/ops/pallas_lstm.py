@@ -670,7 +670,7 @@ def lstm_backward(xk, hp, cp, tc, g_hs, w_ih, b, w_hh, unroll: int = 5):
 def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
                     hidden: int, unroll: int, n_t: int, pad: int,
                     want_resid: bool, cell_dtype=jnp.float32,
-                    dense: bool = False):
+                    dense: bool = False, masked: bool = False):
     """Grid (r_tiles, n_t). x0/x1: (u, tile, F) blocks of the SAME array at
     block t and n_t-1-t. Outputs per dir: h [Tp, Rp, H] (+ resid streams
     hp/cp/tc per dir when want_resid). Dir-1 sub-steps run mirrored, so its
@@ -684,10 +684,15 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
     extra matmul rides the MXU, which idles while the cell's elementwise
     stream bounds the kernel."""
     wo_ref = None
+    lens_ref = None
+    rest = list(rest)
     if dense:
-        wo_ref, o0_ref, o1_ref, h0s, c0s, h1s, c1s = rest
-        hp0_ref = None
-    elif want_resid:
+        wo_ref = rest.pop(0)
+    if masked:
+        # per-row valid lengths [tile, 1]: dir-1 starts its scan at each
+        # row's own length instead of the padded T (no input masked_flip)
+        lens_ref = rest.pop(0)
+    if want_resid:
         (o0_ref, o1_ref, hp0_ref, cp0_ref, tc0_ref,
          hp1_ref, cp1_ref, tc1_ref, h0s, c0s, h1s, c1s) = rest
     else:
@@ -749,7 +754,16 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
         f = _sigmoid(g[:, H : 2 * H])
         gg = jnp.tanh(g[:, 2 * H : 3 * H])
         o = _sigmoid(g[:, 3 * H :])
-        if pad and u1 >= unroll - pad:
+        if masked:
+            # global forward time of this sub-step; dir-1 walks it downward.
+            # Holding (h1, c1) at their zero init while j >= len[row] makes
+            # the first processed step exactly x[len-1] — the masked-flip
+            # stacked path's semantics without any flip (out1[t >= len] = 0,
+            # masked downstream like the unmasked path's pad garbage). The
+            # per-row predicate subsumes the static time-pad hold (len <= T).
+            j = (n_t - 1 - t) * unroll + u1
+            valid = j < lens_ref[:, :]  # [tile, 1], broadcasts over lanes
+        elif pad and u1 >= unroll - pad:
             # forward-END padding = the START of dir-1's scan: only block
             # t==0 touches it; hold the state there so zeros enter the
             # first real step
@@ -792,16 +806,21 @@ def _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
 
 
 def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
-                     want_resid: bool, cell_dtype=jnp.float32, wo2=None):
+                     want_resid: bool, cell_dtype=jnp.float32, wo2=None,
+                     lens=None):
     """Time-major core: xk [T, R, F] -> (o0, o1) [Tp, Rp, H] (+ xk and 6
     resid streams when want_resid). o1 is already in forward time.
     With ``wo2`` [2, H, Fo] the SplitDense epilogue is fused: outputs become
     (y0, y1) [Tp, Rp, Fo] = h_d @ wo2[d] (mutually exclusive with
-    want_resid — training uses the unfused resid forward)."""
+    want_resid — training uses the unfused resid forward).
+    With ``lens`` [R] the kernel runs mask-aware: dir-1 starts each row's
+    backward scan at its own length (inference-only; see bilstm2_forward_masked)."""
     T, B, F = xk.shape
     H = w_hh2.shape[1]
     dense = wo2 is not None
+    masked = lens is not None
     assert not (dense and want_resid)
+    assert not (masked and (dense or want_resid))
     Fo = wo2.shape[2] if dense else H
     u = _pick_unroll(T, unroll)
     Tp = T
@@ -861,12 +880,20 @@ def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
     if dense:
         in_specs.append(pl.BlockSpec((2, H, Fo), wmap))
         operands.append(wo2)
+    if masked:
+        # pad rows are full-length (behave like the unmasked kernel there);
+        # stored as an [Rp, 1] COLUMN so the in-kernel compare yields a
+        # [tile, 1] mask directly (a 1D->2D vector reshape trips Mosaic)
+        lens_row = jnp.full((Rp,), Tp, jnp.int32)
+        lens_row = lens_row.at[:B].set(lens.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((tile, 1), lambda r, t: (r, 0)))
+        operands.append(lens_row[:, None])
     scratch = [pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), cell_dtype),
                pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), cell_dtype)]
     out = pl.pallas_call(
         functools.partial(_bilstm2_kernel, hidden=H, unroll=u, n_t=n_t,
                           pad=pad, want_resid=want_resid, cell_dtype=cell_dtype,
-                          dense=dense),
+                          dense=dense, masked=masked),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -889,6 +916,26 @@ def bilstm2_forward(x, w_ih2, b2, w_hh2, row_tile: int = 512, unroll: int = 5,
     B, T, _ = x.shape
     o0, o1 = _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile, unroll, False,
                            cell_dtype=jnp.dtype(cell_dtype).type)
+    return (jnp.swapaxes(o0[:T, :B], 0, 1), jnp.swapaxes(o1[:T, :B], 0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def bilstm2_forward_masked(x, lens, w_ih2, b2, w_hh2, row_tile: int = 512,
+                           unroll: int = 5):
+    """Mask-aware no-stack inference: x [B, T, F], lens [B] -> (out0, out1)
+    each [B, T, H], both in forward time.
+
+    dir-0 is the plain forward scan (positions t >= len are garbage by
+    construction, masked downstream — the ``lstm()`` masked contract); dir-1
+    holds its zero state until the global time index drops below each row's
+    own length, so its first processed step is exactly x[len-1] — the
+    masked-flip semantics with NO input stack and NO masked_flip gathers
+    (the round-2 masked lane spent its gap on exactly those: two permutation
+    matmuls + a [2, B, T, F] stack per inter scan). out1[t >= len] is 0."""
+    B, T, _ = x.shape
+    xk = jnp.swapaxes(x, 0, 1)
+    o0, o1 = _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile, unroll, False,
+                              lens=lens)
     return (jnp.swapaxes(o0[:T, :B], 0, 1), jnp.swapaxes(o1[:T, :B], 0, 1))
 
 
