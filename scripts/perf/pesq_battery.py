@@ -115,15 +115,97 @@ def battery(fs):
     ]
 
 
+# ---------------------------------------------------------------- hold-out
+# Families NOT used to select _FREQ_COMP_OFFSET (round-2 VERDICT weak #4):
+# the re-scale was fitted on the band-limit/noise anchors above; these check
+# it generalizes. Material uses a held-out generator seed as well.
+
+
+def reverb(x, fs, rt60, drr_db=0.0, seed=3):
+    """Synthetic RIR: unit direct path + exponentially-decaying noise tail
+    normalized to ``drr_db`` direct-to-reverberant ratio."""
+    rng = np.random.default_rng(seed)
+    n = int(rt60 * fs)
+    t = np.arange(n) / fs
+    tail = rng.standard_normal(n) * np.exp(-3.0 * np.log(10) * t / rt60)
+    tail[0] = 0.0
+    tail *= 10 ** (-drr_db / 20) / (np.sqrt(np.sum(tail ** 2)) + 1e-12)
+    h = np.zeros(n)
+    h[0] = 1.0
+    h += tail
+    return np.convolve(x, h)[: len(x)]
+
+
+def nb_noise(x, fs, snr_db, lo=1000, hi=2000, seed=5):
+    """Narrowband (1-2 kHz) noise at ``snr_db`` — exercises the band
+    compensation asymmetrically (energy ADDED to a band subset)."""
+    rng = np.random.default_rng(seed)
+    n = rng.standard_normal(len(x))
+    X = np.fft.rfft(n)
+    f = np.fft.rfftfreq(len(x), 1 / fs)
+    n = np.fft.irfft(X * ((f >= lo) & (f <= hi)), n=len(x))
+    n *= np.sqrt(np.mean(x ** 2)) / np.sqrt(np.mean(n ** 2)) * 10 ** (-snr_db / 20)
+    return x + n
+
+
+def babble(x, fs, snr_db, seed=6):
+    """Speech-shaped, syllabically-modulated noise (babble-like)."""
+    rng = np.random.default_rng(seed)
+    n = rng.standard_normal(len(x))
+    X = np.fft.rfft(n)
+    f = np.fft.rfftfreq(len(x), 1 / fs)
+    shape = 1.0 / np.maximum(f, 120.0)
+    n = np.fft.irfft(X * shape * (f < 3800), n=len(x))
+    t = np.arange(len(x)) / fs
+    n *= 0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t + 1.0) * np.sin(2 * np.pi * 0.7 * t)
+    n *= np.sqrt(np.mean(x ** 2)) / np.sqrt(np.mean(n ** 2)) * 10 ** (-snr_db / 20)
+    return x + n
+
+
+def am(x, fs, depth, rate=4.0):
+    """Slow amplitude modulation. NB: P.862's short-term gain compensation is
+    *designed* to partially compensate time-varying gain (P.862 §10.2.3), so
+    moderate slow AM is near-transparent by spec."""
+    t = np.arange(len(x)) / fs
+    return x * (1.0 - depth * 0.5 * (1 + np.sin(2 * np.pi * rate * t)))
+
+
+def highpass(x, fs, cutoff):
+    X = np.fft.rfft(x)
+    f = np.fft.rfftfreq(len(x), 1 / fs)
+    return np.fft.irfft(X * (f >= cutoff), n=len(x))
+
+
+def holdout_battery(fs):
+    ref = speech_like(fs, seed=7)  # held-out material
+    return ref, [
+        ("reverb", "RT60 0.15 s", reverb(ref, fs, 0.15), (3.0, 4.5)),
+        ("reverb", "RT60 0.4 s", reverb(ref, fs, 0.4), (2.3, 3.9)),
+        ("reverb", "RT60 0.8 s", reverb(ref, fs, 0.8), (1.8, 3.3)),
+        ("nbnoise", "1-2 kHz SNR 25", nb_noise(ref, fs, 25), (2.9, 4.2)),
+        ("nbnoise", "1-2 kHz SNR 15", nb_noise(ref, fs, 15), (2.1, 3.4)),
+        ("babble", "SNR 20", babble(ref, fs, 20), (2.6, 3.9)),
+        ("babble", "SNR 10", babble(ref, fs, 10), (1.7, 3.0)),
+        ("am", "4 Hz depth 0.5", am(ref, fs, 0.5), (3.0, 4.56)),
+        ("am", "4 Hz depth 0.9", am(ref, fs, 0.9), (1.8, 3.6)),
+        ("highpass", "HP 300 Hz", highpass(ref, fs, 300), (3.4, 4.56)),
+    ]
+
+
 def main():
     fs = int(sys.argv[sys.argv.index("--fs") + 1]) if "--fs" in sys.argv else 8000
     mode = "wb" if fs == 16000 else "nb"
-    ref = speech_like(fs)
+    holdout = "--holdout" in sys.argv
+    if holdout:
+        ref, cases = holdout_battery(fs)
+    else:
+        ref = speech_like(fs)
+        cases = battery(fs)
     rows = []
     worst = 0.0
     print(f"| family | degradation | MOS-LQO ({mode}) | expected window | in window |")
     print("|---|---|---|---|---|")
-    for fam, label, deg, (lo, hi) in battery(fs):
+    for fam, label, deg, (lo, hi) in cases:
         m = pesq(fs, ref, deg, mode=mode)
         inwin = lo <= m <= hi
         if not inwin:
@@ -132,7 +214,9 @@ def main():
         print(f"| {fam} | {label} | {m:.2f} | [{lo:.1f}, {hi:.1f}] | {'yes' if inwin else 'NO'} |")
     # monotonicity within each ordered family
     print()
-    for fam in ("noise", "bandlimit", "clip", "codec"):
+    fams = ("reverb", "nbnoise", "babble", "am") if holdout else \
+        ("noise", "bandlimit", "clip", "codec")
+    for fam in fams:
         vals = [r[2] for r in rows if r[0] == fam]
         mono = all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
         print(f"monotone {fam}: {'yes' if mono else 'NO'} {['%.2f' % v for v in vals]}")
