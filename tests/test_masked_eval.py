@@ -129,3 +129,32 @@ def test_rawnet_model_padded_matches_exact(rng):
         wav_e, logit_e = model.apply(variables, mix[b : b + 1, :l], aux[b : b + 1, :la])
         np.testing.assert_allclose(np.asarray(logit_p)[b], np.asarray(logit_e)[0], atol=5e-4, rtol=2e-3)
         np.testing.assert_allclose(np.asarray(wav_p)[b, :l], np.asarray(wav_e)[0], atol=5e-4, rtol=2e-3)
+
+
+def test_bss_padded_matches_exact_pallas_backend(rng, monkeypatch):
+    """Model-level masked == exact on the PALLAS backend (interpret mode):
+    the bucketed-eval graph's inter scans dispatch to the mask-aware
+    no-stack kernel (_recurrence3_masked, round 3) — the whole model must
+    still reproduce per-utterance exact inference on the valid region."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    from tss_dprnn_tpu.ops import rnn as rnn_ops
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    model = DPRNNTasNet(
+        input_size=8, feature_size=16, hidden_size=16, chunk_length=20,
+        kernel_size=2, hop_length=10, n_repeats=2, norm_type="ln",
+    )
+    T_pad = 320
+    lengths = np.array([320, 251], np.int32)
+    mix = rng.standard_normal((2, T_pad)).astype(np.float32)
+    for b, l in enumerate(lengths):
+        mix[b, l:] = 0
+    variables = model.init(jax.random.PRNGKey(0), mix[:1], lengths=None)
+    with rnn_ops.lstm_backend("pallas"):
+        padded = np.asarray(model.apply(variables, mix, lengths=lengths))
+        for b, l in enumerate(lengths):
+            exact = np.asarray(model.apply(variables, mix[b : b + 1, :l]))
+            np.testing.assert_allclose(padded[b, :, :l], exact[0], atol=3e-4, rtol=3e-4)
