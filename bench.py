@@ -147,7 +147,7 @@ def main():
     audio_sec = iters * B * secs
     realtime = audio_sec / dt
     lane = ("masked-bucketed-eval" if masked else "unmasked") + \
-        ("(bf16+pallas)" if fast else "(fp32+xla)")
+        (" (bf16+pallas)" if fast else " (fp32+xla)")
     print(json.dumps({
         "metric": "separated_audio_sec_per_sec_per_chip",
         "value": round(realtime, 2),

@@ -64,6 +64,27 @@ def lstm_save_every(q: int):
         _LSTM_SAVE_EVERY.reset(token)
 
 
+# Scheduling pragma (trainer config `schedule_masks: true`): treat `lengths`
+# as None inside the scans while the rest of the graph keeps its mask ops.
+# ONLY valid when every row is full-length (training's fixed crops) — the
+# values are then identical, but the mask elementwise ops nudge XLA into a
+# measurably better fusion/layout plan (ROUND_NOTES session 10: the masked
+# inference graph beats the unmasked one by ~10% on pure glue; threading
+# all-ones masks through the TRAIN graph with unmasked scans reproduced
+# 113.9 vs 118.4/118.8 ms/step on the flagship, 2x measured 2026-08-20).
+_LSTM_IGNORE_LENGTHS: contextvars.ContextVar = contextvars.ContextVar(
+    "lstm_ignore_lengths", default=False)
+
+
+@contextlib.contextmanager
+def lstm_ignore_lengths(on: bool = True):
+    token = _LSTM_IGNORE_LENGTHS.set(bool(on))
+    try:
+        yield
+    finally:
+        _LSTM_IGNORE_LENGTHS.reset(token)
+
+
 def current_lstm_backend() -> str:
     return _LSTM_BACKEND.get()
 
@@ -549,6 +570,8 @@ def lstm_split_dense(x, fwd: LSTMWeights, bwd: LSTMWeights, kernel, lengths=None
     math."""
     import os
 
+    if lengths is not None and _LSTM_IGNORE_LENGTHS.get():
+        lengths = None  # schedule_masks pragma: rows are full-length
     H = fwd.w_hh.shape[0]
     if (
         lengths is None
@@ -609,6 +632,8 @@ def lstm(x, fwd: LSTMWeights, bwd: Optional[LSTMWeights] = None, lengths=None):
     unpadded inputs; forward-direction outputs at padded steps are garbage by
     construction (mask downstream, as the reference's zero-pad chunks are).
     """
+    if lengths is not None and _LSTM_IGNORE_LENGTHS.get():
+        lengths = None  # schedule_masks pragma: rows are full-length
     B, T, F = x.shape
     H = fwd.w_hh.shape[0]
     if (
@@ -659,6 +684,8 @@ def lstm_pair(x, fwd: LSTMWeights, bwd: LSTMWeights, lengths=None):
     time-major pallas outputs live in {2,0,1} layout and XLA materializes
     their concat as a pad_maximum fusion, ~16 ms/scan at the flagship shape).
     Semantics identical to ``lstm(...)`` split at the last axis."""
+    if lengths is not None and _LSTM_IGNORE_LENGTHS.get():
+        lengths = None  # schedule_masks pragma: rows are full-length
     if _LSTM_BACKEND.get() == "pallas" and _LSTM_SAVE_EVERY.get() <= 1:
         w_ih2 = jnp.stack([fwd.w_ih, bwd.w_ih]).astype(x.dtype)
         b2 = jnp.stack([fwd.b, bwd.b])

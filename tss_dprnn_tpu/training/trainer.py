@@ -85,6 +85,14 @@ class Trainer:
         # step and recomputes segments in the backward (fits flagship fp32
         # full-batch in 16 GB HBM; see ops/rnn.lstm_save_every)
         self.lstm_save_every = int(config.get("lstm_save_every", 1))
+        # scheduling pragma: thread all-ones masks through the train/eval
+        # graphs while the scans ignore them (rnn.lstm_ignore_lengths) —
+        # numerically identical on fixed-length crops, and the mask
+        # elementwise ops nudge XLA into a measurably better fusion plan
+        # (113.9 vs 118.4/118.8 ms flagship fast-path step, 2x measured
+        # 2026-08-20, ROUND_NOTES session 10). Off by default: it is a
+        # compiler-schedule lever, not semantics.
+        self.schedule_masks = bool(config.get("schedule_masks", False))
 
         sched = config.get("lr_scheduler", {}) or {}
         decay_rate = sched.get("decay_rate")
@@ -119,9 +127,23 @@ class Trainer:
     def _example_args(self, batch):
         return (batch["mix"][:1],), {}
 
+    def _sched_lengths(self, batch):
+        """All-ones-mask lengths vector for the schedule_masks pragma (None
+        when disabled). Training batches are fixed-length crops, so
+        lengths == T exactly and the masked graph's VALUES equal the
+        unmasked one's."""
+        if not self.schedule_masks:
+            return None
+        import jax.numpy as jnp
+
+        mix = batch["mix"]
+        return jnp.full((mix.shape[0],), mix.shape[1], jnp.int32)
+
     def _forward_loss(self, variables, batch, train: bool):
         """Returns (loss, batch_stats_updates, aux_dict). Overridden per mode."""
-        out = self.model.apply(variables, batch["mix"])
+        sl = self._sched_lengths(batch)
+        out = self.model.apply(variables, batch["mix"], **(
+            {"lengths": sl} if sl is not None else {}))
         if self.is_metrics:
             loss, est = losses.pit_sisdr_loss(out, batch["sources"], return_est=True)
             return loss, {}, {"est": est}
@@ -219,9 +241,12 @@ class Trainer:
         backend = self.lstm_backend
         save_every = self.lstm_save_every
 
+        sched = self.schedule_masks
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
-            with rnn_ops.lstm_backend(backend), rnn_ops.lstm_save_every(save_every):
+            with rnn_ops.lstm_backend(backend), rnn_ops.lstm_save_every(save_every), \
+                    rnn_ops.lstm_ignore_lengths(sched):
                 return _train_step_body(state, batch)
 
         def _train_step_body(state: TrainState, batch):
@@ -262,7 +287,7 @@ class Trainer:
 
         @jax.jit
         def eval_step(state: TrainState, batch):
-            with rnn_ops.lstm_backend(backend):
+            with rnn_ops.lstm_backend(backend), rnn_ops.lstm_ignore_lengths(sched):
                 variables = {"params": state.params}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats

@@ -22,14 +22,17 @@ class TrainerSpe(Trainer):
 
     def _model_out(self, variables, batch, train: bool):
         mutable = ["batch_stats"] if (train and "batch_stats" in variables) else False
+        sl = self._sched_lengths(batch)
+        kw = {"lengths": sl} if sl is not None else {}
         if mutable:
             (est, logits), updates = self.model.apply(
                 variables, batch["mix"], batch["reference"], batch["ref_len"],
-                train=True, mutable=mutable,
+                train=True, mutable=mutable, **kw,
             )
             return est, logits, updates.get("batch_stats", {})
         est, logits = self.model.apply(
-            variables, batch["mix"], batch["reference"], batch["ref_len"], train=False
+            variables, batch["mix"], batch["reference"], batch["ref_len"], train=False,
+            **kw,
         )
         return est, logits, {}
 
