@@ -165,6 +165,9 @@ def bench_train_variant(variant: str, path: str, batch: int) -> dict:
         "clip_norm": 5, "ce_gamma": 0.5, "lstm_backend": backend,
         "new_checkpoints_path": "/tmp/bench_all_chkpts",
         "data": {"sample_rate": 8000},
+        # schedule_masks pragma (--sched): all-ones masks, scans unmasked —
+        # value-neutral, measured ~4% faster step (trainer.py)
+        "schedule_masks": "--sched" in sys.argv,
     }
     if not bf16 and backend == "xla":
         # fp32 XLA full-batch needs the segment-checkpointed residuals
@@ -253,7 +256,8 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
     if not only and rows:
-        label = ("train " if train else "") + ("masked " if masked else "") + PATHS[path][0]
+        label = ("train " if train else "") + ("masked " if masked else "") \
+            + ("sched " if train and "--sched" in sys.argv else "") + PATHS[path][0]
         write_table(rows, label, train=train)
 
 
