@@ -657,8 +657,12 @@ def lstm_backward(xk, hp, cp, tc, g_hs, w_ih, b, w_hh, unroll: int = 5):
 # - the [2, B, T, F] stacked input, its dir-1 time flip, and the dir-1
 #   OUTPUT flip all disappear (profiled at ~200 ms of a 1.6 s B=32x10s
 #   inference call) — dir-1's output lands in forward time by construction;
-# - valid only for lengths=None (full-T reversal); lstm() dispatches the
-#   masked path to the stacked pre-flip kernels;
+# - lengths=None gives full-T reversal; MASKED sequences use the ``masked``
+#   kernel mode (bilstm2_forward_masked, round 3): an extra [Rp, 1] int32
+#   length column and a per-sub-step predicate hold dir-1's zero state until
+#   the global time index drops below each row's own length — masked-flip
+#   semantics with no stack and no flips. Forward-only; gradients dispatch
+#   through rnn._recurrence3_masked's stacked fallback;
 # - time padding (to the unroll multiple) sits at the forward END, which is
 #   the START of dir-1's scan: the kernel masks dir-1's state updates on the
 #   pad sub-steps (static sub-index x traced block-index predicate) so zeros

