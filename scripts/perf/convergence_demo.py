@@ -141,7 +141,7 @@ def model_cfg(variant):
 
 
 def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, lr,
-                fast=True, seed=0, tag="", n_src=2, noisy=False):
+                fast=True, seed=0, tag="", n_src=2, noisy=False, sched=False):
     import yaml
 
     from tss_dprnn_tpu.cli import generate_manifests, test as test_cli, train as train_cli
@@ -182,6 +182,7 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
         optimizer=dict(lr=lr, weight_decay=1e-5),
         lr_scheduler=dict(patience=5, factor=0.5, decay_rate=None),
         logs=dict(metadata=dict(ids=[])),
+        schedule_masks=sched,
         print_freq=50, clip_norm=5, cur_epoch=0, epochs=epochs,
         early_stop=max(10, epochs), ce_gamma=0.5, checkpoint_path=None,
         n_checkpoints=2, new_checkpoints_path=f"{vdir}/chkpts",
@@ -240,6 +241,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/tss_convergence")
     ap.add_argument("--no-fast", action="store_true",
                     help="fp32 + XLA scan path (for CPU runs)")
+    ap.add_argument("--sched", action="store_true",
+                    help="schedule_masks: true (value-neutral XLA scheduling "
+                         "pragma, ~4-9%% faster step — trainer.py)")
     ap.add_argument("--no-doc", action="store_true", help="don't append to CONVERGENCE.md")
     args = ap.parse_args()
 
@@ -249,7 +253,7 @@ def main():
         res = run_variant(args.variant, args.workdir, args.epochs, args.n_train,
                           args.n_eval, args.n_test, args.batch_size, args.lr,
                           fast=not args.no_fast, seed=args.seed, tag=args.tag,
-                          n_src=args.n_src, noisy=args.noisy)
+                          n_src=args.n_src, noisy=args.noisy, sched=args.sched)
     print(json.dumps(res))
     if not args.no_doc:
         doc = os.path.join(REPO, "CONVERGENCE.md")
