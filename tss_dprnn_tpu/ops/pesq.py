@@ -185,7 +185,9 @@ def _estimate_delay(ref: np.ndarray, deg: np.ndarray, fs: int) -> int:
     lag_w = lag_w[(n - np.abs(lag_w)) >= block]  # k < block skipped
     if len(lag_w) == 0:
         return coarse
-    size2 = 2 ** int(np.ceil(np.log2(2 * n)))
+    # linear (non-circular) correlation needs size >= n + max|lag| + 1 only —
+    # half the FFT of the generic 2n padding when the coarse lag is small
+    size2 = 2 ** int(np.ceil(np.log2(n + int(np.abs(lag_w).max()) + 1)))
     cc = np.fft.irfft(
         np.fft.rfft(deg[:n], size2) * np.conj(np.fft.rfft(ref[:n], size2)), size2
     )
