@@ -241,8 +241,11 @@ def main():
             print(json.dumps(row), flush=True)
             continue
         # IRA runs two full DPRNN passes; RawNet adds the 16 kHz sinc branch —
-        # smaller batches keep HBM in bounds at 10 s utterances
-        b = {"ira": max(batch // 2, 1), "rawnet": max(batch // 4, 1)}.get(v, batch)
+        # smaller batches keep HBM in bounds at 10 s utterances. RawNet's cap
+        # moved //4 -> //2 after a B=16 probe measured +5-6% on both the
+        # masked (368.9 -> 390.4) and unmasked (342 -> 359.8) fast lanes
+        # (2026-08-20); ira is saturated at //2 (B=24 == B=16 within noise).
+        b = {"ira": max(batch // 2, 1), "rawnet": max(batch // 2, 1)}.get(v, batch)
         if path == "parity":
             # fp32 XLA path precomputes the scans' input projections
             # ([T', 2, rows, 4H] fp32 ~ 0.65 GB per batch element at 10 s):
