@@ -252,8 +252,11 @@ def test_bilstm2_masked_matches_stacked_path(rng, monkeypatch):
     """Mask-aware no-stack kernel (round 3): dir-1 starts each row's backward
     scan at its own length in-kernel. On t < len both directions must equal
     the stacked masked_flip path (what lstm() runs on the XLA backend);
-    dir-1's t >= len region is defined 0. Grads route through the stacked
-    fallback and must match it."""
+    dir-1's t >= len region is defined 0. Grads run the masked resid-forward
+    + masked backward KERNELS and must match the stacked path whenever the
+    cotangents live on the valid region (in-model they always do — every
+    consumer masks; at t >= len the kernel's dir-1 output is the constant 0,
+    so cotangents there are correctly discarded)."""
     import functools
     from jax.experimental import pallas as pl
 

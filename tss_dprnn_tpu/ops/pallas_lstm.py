@@ -801,12 +801,13 @@ def _bilstm2_kernel(x0_ref, x1_ref, wih_ref, whh_ref, b_ref, *rest,
 
 
 def _bilstm2_core(x, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
-                  want_resid: bool, cell_dtype=jnp.float32, wo2=None):
+                  want_resid: bool, cell_dtype=jnp.float32, wo2=None,
+                  lens=None):
     """x [B, T, F] -> (o0, o1) [Tp, Rp, H] (+ xk and 6 resid streams when
     want_resid). o1 is already in forward time."""
     xk = jnp.swapaxes(x, 0, 1)  # [T, B, F]
     return _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile, unroll, want_resid,
-                            cell_dtype=cell_dtype, wo2=wo2)
+                            cell_dtype=cell_dtype, wo2=wo2, lens=lens)
 
 
 def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
@@ -824,7 +825,7 @@ def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
     dense = wo2 is not None
     masked = lens is not None
     assert not (dense and want_resid)
-    assert not (masked and (dense or want_resid))
+    assert not (masked and dense)
     Fo = wo2.shape[2] if dense else H
     u = _pick_unroll(T, unroll)
     Tp = T
@@ -964,6 +965,33 @@ def bilstm2_forward_resid(x, w_ih2, b2, w_hh2):
         x, w_ih2, b2, w_hh2, _RESID_ROW_TILE, 5, True)
     outs = (jnp.swapaxes(o0[:T, :B], 0, 1), jnp.swapaxes(o1[:T, :B], 0, 1))
     return outs, (xk, hp0, cp0, tc0, hp1, cp1, tc1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bilstm2_forward_resid_masked(x, lens, w_ih2, b2, w_hh2):
+    """Mask-aware training forward (see bilstm2_forward_masked) with the
+    padded kernel-layout residual streams — dir-1's hp/cp at held steps hold
+    the zero state, which the masked backward skips anyway."""
+    B, T, _ = x.shape
+    o0, o1, hp0, cp0, tc0, hp1, cp1, tc1, xk = _bilstm2_core(
+        x, w_ih2, b2, w_hh2, _RESID_ROW_TILE, 5, True, lens=lens)
+    outs = (jnp.swapaxes(o0[:T, :B], 0, 1), jnp.swapaxes(o1[:T, :B], 0, 1))
+    return outs, (xk, hp0, cp0, tc0, hp1, cp1, tc1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bilstm2_backward_masked(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0, g1,
+                            w_ih2, b2, w_hh2, lens):
+    """Mask-aware twin of :func:`bilstm2_backward`: dir-1's held steps
+    (j >= len per row) contribute nothing (their forward output was the
+    constant zero init)."""
+    B, T = g0.shape[0], g0.shape[1]
+    g0k = jnp.swapaxes(g0, 0, 1)
+    g1k = jnp.swapaxes(g1, 0, 1)
+    dx, dw_ih2, db2, dw_hh2 = bilstm2_backward_tm(
+        xk, hp0, cp0, tc0, hp1, cp1, tc1, g0k, g1k, w_ih2, b2, w_hh2,
+        T=T, R=B, lens=lens)
+    return jnp.swapaxes(dx, 0, 1), dw_ih2, db2, dw_hh2
 
 
 # ---------------------------------------------------------------------------
@@ -1146,14 +1174,24 @@ def bilstm2_forward_resid_tm(x, w_ih2, b2, w_hh2):
 
 def _bilstm2_bwd_kernel(x0_ref, x1_ref, hp0_ref, cp0_ref, tc0_ref, g0_ref,
                         hp1_ref, cp1_ref, tc1_ref, g1_ref, wih_ref, whh_ref,
-                        b_ref, dx0_ref, dx1_ref, dwih0_ref, dwhh0_ref, db0_ref,
-                        dwih1_ref, dwhh1_ref, db1_ref,
-                        dh0s, dc0s, dh1s, dc1s, *, hidden: int, unroll: int,
-                        n_t: int, pad: int):
+                        b_ref, *rest, hidden: int, unroll: int,
+                        n_t: int, pad: int, masked: bool = False):
     """Reverse pass of _bilstm2_kernel. Dir-0 walks mirrored blocks
     (n_t-1-t, sub-steps descending); dir-1 walks forward blocks (t,
     sub-steps ascending = reverse of its scan). Dir-1's pad tail (last
-    block's high sub-steps) is where-masked to zero contributions."""
+    block's high sub-steps) is where-masked to zero contributions.
+
+    ``masked``: per-row lengths column [tile, 1] as an extra input — dir-1's
+    forward HELD its zero state while j >= len (the state there is the
+    constant zero init, a function of nothing), so its backward skips those
+    steps per row: no dpre/dx/dw contributions, carries passed through. The
+    per-row predicate subsumes the static pad mask (len <= T)."""
+    lens_ref = None
+    rest = list(rest)
+    if masked:
+        lens_ref = rest.pop(0)
+    (dx0_ref, dx1_ref, dwih0_ref, dwhh0_ref, db0_ref,
+     dwih1_ref, dwhh1_ref, db1_ref, dh0s, dc0s, dh1s, dc1s) = rest
     t = pl.program_id(1)
     H = hidden
     f32 = jnp.float32
@@ -1240,6 +1278,10 @@ def _bilstm2_bwd_kernel(x0_ref, x1_ref, hp0_ref, cp0_ref, tc0_ref, g0_ref,
     # dir 1: its backward ENDS in the pad tail (t == n_t-1, high sub-steps)
     # with a live carry -> mask those contributions explicitly
     def mask1(u):
+        if masked:
+            # held forward steps (j >= len[row]) contribute nothing: their
+            # output was the constant zero init
+            return (t * unroll + u) < lens_ref[:, :]
         if pad and u >= unroll - pad:
             return t < n_t - 1
         return None
@@ -1273,9 +1315,10 @@ def bilstm2_backward(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0, g1,
 
 @functools.partial(jax.jit, static_argnames=("T", "R"))
 def bilstm2_backward_tm(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0k, g1k,
-                        w_ih2, b2, w_hh2, T: int, R: int):
+                        w_ih2, b2, w_hh2, T: int, R: int, lens=None):
     """Time-major backward: g0k/g1k [T, R, H] (forward time) ->
-    (dx [T, R, F], dw_ih2 [2, F, 4H], db2 [2, 4H], dw_hh2 [2, H, 4H])."""
+    (dx [T, R, F], dw_ih2 [2, F, 4H], db2 [2, 4H], dw_hh2 [2, H, 4H]).
+    ``lens`` [R]: mask-aware variant (see _bilstm2_bwd_kernel)."""
     Tp, Rp, F = xk.shape
     H = w_hh2.shape[1]
     B = R
@@ -1319,19 +1362,28 @@ def bilstm2_backward_tm(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0k, g1k,
 
     sf = pl.BlockSpec((u, tile, H), fmap)
     sm = pl.BlockSpec((u, tile, H), mmap)
+    in_specs = [
+        pl.BlockSpec((u, tile, F), mmap),   # x for dir-0 bwd
+        pl.BlockSpec((u, tile, F), fmap),   # x for dir-1 bwd
+        sm, sm, sm, sm,                      # hp0 cp0 tc0 g0 (mirrored)
+        sf, sf, sf, sf,                      # hp1 cp1 tc1 g1 (forward)
+        pl.BlockSpec((2, F, 4 * H), wmap),
+        pl.BlockSpec((2, H, 4 * H), wmap),
+        pl.BlockSpec((2, 1, 4 * H), wmap),
+    ]
+    operands = [xk, xk, hp0, cp0, tc0, g0k, hp1, cp1, tc1, g1k,
+                w_ih2, w_hh2, b2[:, None, :]]
+    masked = lens is not None
+    if masked:
+        lens_row = jnp.full((Rp,), Tp, jnp.int32)
+        lens_row = lens_row.at[:B].set(lens.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((tile, 1), lambda r, t: (r, 0)))
+        operands.append(lens_row[:, None])
     outs = pl.pallas_call(
         functools.partial(_bilstm2_bwd_kernel, hidden=H, unroll=u, n_t=n_t,
-                          pad=pad),
+                          pad=pad, masked=masked),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((u, tile, F), mmap),   # x for dir-0 bwd
-            pl.BlockSpec((u, tile, F), fmap),   # x for dir-1 bwd
-            sm, sm, sm, sm,                      # hp0 cp0 tc0 g0 (mirrored)
-            sf, sf, sf, sf,                      # hp1 cp1 tc1 g1 (forward)
-            pl.BlockSpec((2, F, 4 * H), wmap),
-            pl.BlockSpec((2, H, 4 * H), wmap),
-            pl.BlockSpec((2, 1, 4 * H), wmap),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((u, tile, F), mmap),
             pl.BlockSpec((u, tile, F), fmap),
@@ -1356,8 +1408,7 @@ def bilstm2_backward_tm(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0k, g1k,
             pltpu.VMEM((tile, H), f32), pltpu.VMEM((tile, H), f32),
             pltpu.VMEM((tile, H), f32), pltpu.VMEM((tile, H), f32),
         ],
-    )(xk, xk, hp0, cp0, tc0, g0k, hp1, cp1, tc1, g1k, w_ih2, w_hh2,
-      b2[:, None, :])
+    )(*operands)
     dx0, dx1, dwih0, dwhh0, db0, dwih1, dwhh1, db1 = outs
     dx = (dx0 + dx1)[:T, :B]  # [T, R, F]
     dw_ih2 = jnp.stack([jnp.sum(dwih0, 0), jnp.sum(dwih1, 0)])
