@@ -661,8 +661,9 @@ def lstm_backward(xk, hp, cp, tc, g_hs, w_ih, b, w_hh, unroll: int = 5):
 #   kernel mode (bilstm2_forward_masked, round 3): an extra [Rp, 1] int32
 #   length column and a per-sub-step predicate hold dir-1's zero state until
 #   the global time index drops below each row's own length — masked-flip
-#   semantics with no stack and no flips. Forward-only; gradients dispatch
-#   through rnn._recurrence3_masked's stacked fallback;
+#   semantics with no stack and no flips. Differentiable: the masked
+#   resid-forward + backward kernels skip dir-1's held steps per row
+#   (rnn._recurrence3_masked) — masked training runs at fast-path speed;
 # - time padding (to the unroll multiple) sits at the forward END, which is
 #   the START of dir-1's scan: the kernel masks dir-1's state updates on the
 #   pad sub-steps (static sub-index x traced block-index predicate) so zeros
