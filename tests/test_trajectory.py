@@ -153,10 +153,7 @@ def test_bss_trajectory_matches_torch(tmp_path):
     _assert_tracks(t_losses, f_losses)
 
 
-@pytest.mark.parametrize(
-    "fusion_type",
-    ["cat", pytest.param("att", marks=pytest.mark.slow)],
-)
+@pytest.mark.parametrize("fusion_type", ["cat", "att"])
 def test_spe_trajectory_matches_torch(tmp_path, fusion_type):
     """'cat' specifically: the round-2 convergence sweep saw spe_cat plateau
     at the reference lr — this test decides whether torch's step-for-step

@@ -105,6 +105,18 @@ def _lstm_kernel(x_ref, wih_ref, whh_ref, b_ref, *rest,
     c_scr[:] = c
 
 
+def _lens_column(lens, B: int, Rp: int, Tp: int):
+    """Per-row lengths as the [Rp, 1] int32 COLUMN both the masked forward
+    and masked backward kernels consume (a 1D->2D vector reshape in-kernel
+    trips Mosaic, so the column shape is made on the host). Pad rows are
+    FULL-length (Tp): they behave like the unmasked kernel and are trimmed
+    by the caller — the forward/backward pair must agree on this convention
+    for gradients to be correct, hence the single shared helper."""
+    lens_row = jnp.full((Rp,), Tp, jnp.int32)
+    lens_row = lens_row.at[:B].set(lens.astype(jnp.int32))
+    return lens_row[:, None]
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -887,13 +899,8 @@ def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
         in_specs.append(pl.BlockSpec((2, H, Fo), wmap))
         operands.append(wo2)
     if masked:
-        # pad rows are full-length (behave like the unmasked kernel there);
-        # stored as an [Rp, 1] COLUMN so the in-kernel compare yields a
-        # [tile, 1] mask directly (a 1D->2D vector reshape trips Mosaic)
-        lens_row = jnp.full((Rp,), Tp, jnp.int32)
-        lens_row = lens_row.at[:B].set(lens.astype(jnp.int32))
         in_specs.append(pl.BlockSpec((tile, 1), lambda r, t: (r, 0)))
-        operands.append(lens_row[:, None])
+        operands.append(_lens_column(lens, B, Rp, Tp))
     scratch = [pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), cell_dtype),
                pltpu.VMEM((tile, H), xk.dtype), pltpu.VMEM((tile, H), cell_dtype)]
     out = pl.pallas_call(
@@ -1376,10 +1383,8 @@ def bilstm2_backward_tm(xk, hp0, cp0, tc0, hp1, cp1, tc1, g0k, g1k,
                 w_ih2, w_hh2, b2[:, None, :]]
     masked = lens is not None
     if masked:
-        lens_row = jnp.full((Rp,), Tp, jnp.int32)
-        lens_row = lens_row.at[:B].set(lens.astype(jnp.int32))
         in_specs.append(pl.BlockSpec((tile, 1), lambda r, t: (r, 0)))
-        operands.append(lens_row[:, None])
+        operands.append(_lens_column(lens, B, Rp, Tp))
     outs = pl.pallas_call(
         functools.partial(_bilstm2_bwd_kernel, hidden=H, unroll=u, n_t=n_t,
                           pad=pad, masked=masked),
