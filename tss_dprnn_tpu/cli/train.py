@@ -32,14 +32,46 @@ def main(argv=None):
     data_cfg = config["data"]
     train_set = dataset_for(config, "train", spe)
     eval_set = dataset_for(config, "eval", spe)
-    train_loader = TrainLoader(
-        train_set, data_cfg.get("batch_size", 5), collate_fn,
-        shuffle=True, drop_last=True, seed=data_cfg.get("seed", 0),
-    )
-    eval_loader = TrainLoader(
-        eval_set, data_cfg.get("batch_size", 5), collate_fn,
-        shuffle=False, drop_last=True, seed=data_cfg.get("seed", 0),
-    )
+    if data_cfg.get("variable_length"):
+        # variable-length training: length-bucketed ragged batches with true
+        # per-row lengths feeding the masked scans (requires datasets built
+        # with segment=null; data.max_segment caps row length in seconds)
+        from tss_dprnn_tpu.data.loader import (
+            VarLenTrainLoader, collate_bss_eval, make_collate_spe_eval)
+
+        sr = data_cfg.get("sample_rate", 8000)
+        if spe:
+            # one static reference length across the run (compile count:
+            # one program per mixture bucket, not per (bucket, ref-max))
+            rmax = max(max(train_set.ref_lengths()), max(eval_set.ref_lengths()))
+            resample_to = 16000 if args.mode == "tss_rawnet" else None
+            if resample_to:
+                rmax = -(-(rmax * resample_to) // sr)
+            vcollate = make_collate_spe_eval(
+                resample_ref_to=resample_to, sample_rate=sr,
+                ref_pad_to=int(-(-rmax // 2000) * 2000))
+        else:
+            vcollate = collate_bss_eval
+        max_seg = data_cfg.get("max_segment")
+        vl_kw = dict(
+            batch_size=data_cfg.get("batch_size", 5), collate_fn=vcollate,
+            seed=data_cfg.get("seed", 0),
+            n_buckets=int(data_cfg.get("n_buckets", 4)),
+            max_len=int(max_seg * sr) if max_seg else None,
+        )
+        train_loader = VarLenTrainLoader(
+            train_set, lengths=train_set.lengths(), shuffle=True, **vl_kw)
+        eval_loader = VarLenTrainLoader(
+            eval_set, lengths=eval_set.lengths(), shuffle=False, **vl_kw)
+    else:
+        train_loader = TrainLoader(
+            train_set, data_cfg.get("batch_size", 5), collate_fn,
+            shuffle=True, drop_last=True, seed=data_cfg.get("seed", 0),
+        )
+        eval_loader = TrainLoader(
+            eval_set, data_cfg.get("batch_size", 5), collate_fn,
+            shuffle=False, drop_last=True, seed=data_cfg.get("seed", 0),
+        )
     logger.info("train dataloader len: %d", len(train_loader))
     logger.info("eval dataloader len: %d", len(eval_loader))
 

@@ -151,6 +151,126 @@ class TrainLoader:
             yield item
 
 
+class VarLenTrainLoader:
+    """Variable-length TRAINING batches: shuffled, length-bucketed, padded to
+    static bucket sizes, with true per-row ``lengths`` threading into the
+    masked scans (the masked Pallas fwd+bwd kernel pair — variable-length
+    training at fast-path speed, a capability superset over the reference's
+    fixed 3-s crops, src/datasets/librimix.py:55-64).
+
+    Shape discipline: every batch is ``[batch_size, bucket_T]`` for one of
+    ``n_buckets`` static ``bucket_T`` values, so the jitted train step
+    compiles once per bucket (a handful of programs, then cache hits).
+    Batches are formed WITHIN buckets from the (seed, epoch)-keyed shuffle,
+    ragged per-bucket tails are dropped (drop_last semantics), and the batch
+    ORDER is shuffled across buckets so an epoch interleaves lengths.
+
+    ``collate_fn(items, bucket_T) -> dict`` — the eval-style collates
+    (collate_bss_eval / make_collate_spe_eval). ``max_len`` caps each row's
+    contribution (items longer than the bucket are head-cropped by the
+    collate's pad-or-crop; ``lengths`` reports the capped value).
+
+    Multi-host SPMD: same lockstep contract as :class:`TrainLoader` — every
+    host builds the SAME global batch plan and materializes its own row
+    slice; ``batch_size`` is global.
+    """
+
+    def __init__(self, dataset, batch_size: int, collate_fn, lengths: Sequence[int],
+                 shuffle: bool = True, seed: int = 0, n_buckets: int = 4,
+                 multiple: int = 2000, max_len: Optional[int] = None,
+                 prefetch: int = 2,
+                 process_index: Optional[int] = None, process_count: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        eff = np.asarray(lengths, np.int64)
+        if max_len is not None:
+            eff = np.minimum(eff, int(max_len))
+        self.lengths = eff
+        self.bounds = bucket_boundaries(eff, n_buckets, multiple)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.process_index, self.process_count = _resolve_process(process_index, process_count)
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide by process_count "
+                f"{self.process_count} (per-host rows must be equal)")
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _bucket_of(self, length: int) -> int:
+        for b in self.bounds:
+            if length <= b:
+                return b
+        return self.bounds[-1]
+
+    def _batch_plan(self) -> List:
+        """[(bucket_T, global_index_array)] for this epoch."""
+        idx = np.arange(len(self.dataset))
+        rng = np.random.default_rng((self.seed, self._epoch))
+        if self.shuffle:
+            rng.shuffle(idx)
+        groups: Dict[int, List[int]] = {}
+        for i in idx:
+            groups.setdefault(self._bucket_of(int(self.lengths[i])), []).append(int(i))
+        plan = []
+        for bucket_T, idxs in sorted(groups.items()):
+            for i0 in range(0, len(idxs) - self.batch_size + 1, self.batch_size):
+                plan.append((bucket_T, np.asarray(idxs[i0 : i0 + self.batch_size])))
+        if self.shuffle:
+            rng.shuffle(plan)
+        return plan
+
+    def __len__(self):
+        return len(self._batch_plan())
+
+    def _materialize(self, bucket_T: int, chunk: np.ndarray) -> Dict[str, np.ndarray]:
+        lengths = np.minimum(self.lengths[chunk], bucket_T).astype(np.int32)
+        if self.process_count > 1:
+            b_loc = self.batch_size // self.process_count
+            lo = self.process_index * b_loc
+            chunk = chunk[lo : lo + b_loc]
+            lengths = lengths[lo : lo + b_loc]
+        batch = self.collate_fn([self.dataset[int(i)] for i in chunk], bucket_T)
+        batch["lengths"] = lengths
+        return batch
+
+    def peek(self) -> Dict[str, np.ndarray]:
+        """One collated batch (largest bucket, so state materialization sees
+        the maximal static shape) without advancing the epoch."""
+        plan = self._batch_plan()
+        bucket_T, chunk = max(plan, key=lambda p: p[0])
+        return self._materialize(bucket_T, chunk)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        plan = self._batch_plan()
+        self._epoch += 1  # vary the shuffle when the caller never set_epoch()s
+        if self.prefetch <= 0:
+            for bucket_T, chunk in plan:
+                yield self._materialize(bucket_T, chunk)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for bucket_T, chunk in plan:
+                    q.put(self._materialize(bucket_T, chunk))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
 def bucket_boundaries(lengths: Sequence[int], n_buckets: int = 8,
                       multiple: int = 2000) -> List[int]:
     """Length quantiles rounded up to ``multiple`` -> static bucket sizes."""
@@ -172,9 +292,13 @@ def collate_bss_eval(items, bucket_T: int) -> Dict[str, np.ndarray]:
 
 
 def make_collate_spe_eval(resample_ref_to: Optional[int] = None, sample_rate: int = 8000,
-                          ref_bucket_multiple: int = 2000):
+                          ref_bucket_multiple: int = 2000,
+                          ref_pad_to: Optional[int] = None):
     """Eval collate for TSS: pads mixture/target to the bucket and references
-    to a rounded common length (true ``ref_len`` preserved for masking)."""
+    to a rounded common length (true ``ref_len`` preserved for masking).
+    ``ref_pad_to`` pins the reference axis to ONE static length instead of a
+    per-batch rounded max — variable-length TRAINING uses it so the jitted
+    step compiles once per mixture bucket, not per (bucket, ref-max) pair."""
     from tss_dprnn_tpu.data.resample import resample as _resample
 
     def collate(items, bucket_T: int) -> Dict[str, np.ndarray]:
@@ -183,9 +307,13 @@ def make_collate_spe_eval(resample_ref_to: Optional[int] = None, sample_rate: in
         refs = [np.asarray(it[2], np.float32) for it in items]
         if resample_ref_to is not None:
             refs = [_resample(r, sample_rate, resample_ref_to) for r in refs]
-        ref_len = np.array([r.shape[0] for r in refs], np.float32)
-        Tr = max(r.shape[0] for r in refs)
-        Tr = -(-Tr // ref_bucket_multiple) * ref_bucket_multiple
+        ref_len = np.array([min(r.shape[0], ref_pad_to) if ref_pad_to else r.shape[0]
+                            for r in refs], np.float32)
+        if ref_pad_to is not None:
+            Tr = ref_pad_to
+        else:
+            Tr = max(r.shape[0] for r in refs)
+            Tr = -(-Tr // ref_bucket_multiple) * ref_bucket_multiple
         ref = np.stack([_pad_to(r, Tr) for r in refs])
         spk = np.array([it[3] for it in items], np.int32)
         return {"mix": mix, "target": target, "reference": ref, "ref_len": ref_len, "spk_idx": spk}

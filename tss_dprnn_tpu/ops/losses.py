@@ -52,13 +52,26 @@ def masked_si_sdr(est, target, lengths=None):
     return si_sdr(est, target, zero_mean=False)
 
 
-def pairwise_neg_sisdr(est, target):
+def pairwise_neg_sisdr(est, target, lengths=None):
     """est: [B, n_est, T], target: [B, n_src, T] -> [B, n_est, n_src] of -SI-SDR.
 
     Matches asteroid PairwiseNegSDR('sisdr'): both zero-meaned over time first.
+    With ``lengths`` ([B] ints) every statistic is restricted to each row's
+    first ``lengths[b]`` samples — zero-mean within the valid region, padding
+    zeroed so the T-axis sums below ignore it. Equals computing the unmasked
+    loss per row on exactly-cropped signals (tests/test_ops_losses.py) —
+    the variable-length training loss (the reference trains fixed 3-s crops
+    only, src/datasets/librimix.py:55-64).
     """
-    est = est - jnp.mean(est, axis=-1, keepdims=True)
-    target = target - jnp.mean(target, axis=-1, keepdims=True)
+    if lengths is not None:
+        T = est.shape[-1]
+        m = (jnp.arange(T)[None, :] < lengths[:, None]).astype(est.dtype)[:, None, :]
+        n = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
+        est = (est - jnp.sum(est * m, axis=-1, keepdims=True) / n) * m
+        target = (target - jnp.sum(target * m, axis=-1, keepdims=True) / n) * m
+    else:
+        est = est - jnp.mean(est, axis=-1, keepdims=True)
+        target = target - jnp.mean(target, axis=-1, keepdims=True)
     # [B, n_est, n_src]
     dot = jnp.einsum("bet,bst->bes", est, target)
     energy = jnp.sum(target * target, axis=-1)[:, None, :] + EPS
@@ -89,14 +102,15 @@ def pit_from_pairwise(pw):
     return jnp.min(losses, axis=-1), idx
 
 
-def pit_sisdr_loss(est, target, return_est: bool = False):
+def pit_sisdr_loss(est, target, return_est: bool = False, lengths=None):
     """PIT-resolved negative SI-SDR, mean over batch.
 
     est/target: [B, n, T]. With ``return_est`` also returns ``est`` reordered
     to the best permutation (asteroid PITLossWrapper(..., return_est=True),
     used by the reference both as the loss and to reorder sources for metrics,
-    src/inferencers/inferencer.py:60)."""
-    pw = pairwise_neg_sisdr(est, target)
+    src/inferencers/inferencer.py:60). ``lengths`` masks each row to its
+    valid samples (variable-length training)."""
+    pw = pairwise_neg_sisdr(est, target, lengths=lengths)
     loss_b, idx = pit_from_pairwise(pw)
     loss = jnp.mean(loss_b)
     if not return_est:

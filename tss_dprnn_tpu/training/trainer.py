@@ -139,15 +139,26 @@ class Trainer:
         mix = batch["mix"]
         return jnp.full((mix.shape[0],), mix.shape[1], jnp.int32)
 
+    def _lengths_for(self, batch):
+        """(model_lengths, loss_lengths): true per-row lengths when the batch
+        carries them (variable-length training, VarLenTrainLoader), else the
+        schedule_masks all-ones pragma for the model only (loss unmasked —
+        fixed crops are full-length)."""
+        true_lens = batch.get("lengths")
+        if true_lens is not None:
+            return true_lens, true_lens
+        return self._sched_lengths(batch), None
+
     def _forward_loss(self, variables, batch, train: bool):
         """Returns (loss, batch_stats_updates, aux_dict). Overridden per mode."""
-        sl = self._sched_lengths(batch)
+        sl, ll = self._lengths_for(batch)
         out = self.model.apply(variables, batch["mix"], **(
             {"lengths": sl} if sl is not None else {}))
         if self.is_metrics:
-            loss, est = losses.pit_sisdr_loss(out, batch["sources"], return_est=True)
+            loss, est = losses.pit_sisdr_loss(out, batch["sources"], return_est=True,
+                                              lengths=ll)
             return loss, {}, {"est": est}
-        loss = losses.pit_sisdr_loss(out, batch["sources"])
+        loss = losses.pit_sisdr_loss(out, batch["sources"], lengths=ll)
         return loss, {}, {}
 
     # ---------------------------------------------------------------- lifecycle
@@ -155,6 +166,14 @@ class Trainer:
     def _ensure_state(self, batch):
         if self.state is not None:
             return
+        # variable-length batches carry true per-row lengths: the
+        # schedule_masks pragma (scans IGNORE lengths) would silently break
+        # masking there, so it is disabled for the whole run
+        self._varlen = "lengths" in batch
+        if self._varlen and self.schedule_masks:
+            self.logger.info(
+                "schedule_masks disabled: batches carry true lengths "
+                "(variable-length training needs masked scans)")
         if self.mesh is None:
             # data axis must divide the batch: use the largest divisor of the
             # batch size that fits the device count
@@ -241,7 +260,7 @@ class Trainer:
         backend = self.lstm_backend
         save_every = self.lstm_save_every
 
-        sched = self.schedule_masks
+        sched = self.schedule_masks and not getattr(self, "_varlen", False)
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):

@@ -16,7 +16,7 @@ class TrainerRawNet(TrainerSpe):
     def _model_out(self, variables, batch, train: bool):
         mutable = ["batch_stats"] if (train and "batch_stats" in variables) else False
         kwargs = dict(aux_len=batch["ref_len"], train=train)
-        sl = self._sched_lengths(batch)
+        sl, _ = self._lengths_for(batch)
         if sl is not None:
             kwargs["lengths"] = sl
         if mutable:

@@ -22,7 +22,7 @@ class TrainerSpe(Trainer):
 
     def _model_out(self, variables, batch, train: bool):
         mutable = ["batch_stats"] if (train and "batch_stats" in variables) else False
-        sl = self._sched_lengths(batch)
+        sl, _ = self._lengths_for(batch)
         kw = {"lengths": sl} if sl is not None else {}
         if mutable:
             (est, logits), updates = self.model.apply(
@@ -38,7 +38,9 @@ class TrainerSpe(Trainer):
 
     def _forward_loss(self, variables, batch, train: bool):
         est, logits, new_bs = self._model_out(variables, batch, train)
-        sisdr = losses.pit_sisdr_loss(est[:, None, :], batch["target"][:, None, :])
+        _, ll = self._lengths_for(batch)
+        sisdr = losses.pit_sisdr_loss(est[:, None, :], batch["target"][:, None, :],
+                                      lengths=ll)
         extra = {"est": est} if self.is_metrics else {}
         if train:
             ce = losses.cross_entropy(logits, batch["spk_idx"])
