@@ -141,7 +141,8 @@ def model_cfg(variant):
 
 
 def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, lr,
-                fast=True, seed=0, tag="", n_src=2, noisy=False, sched=False):
+                fast=True, seed=0, tag="", n_src=2, noisy=False, sched=False,
+                varlen=False):
     import yaml
 
     from tss_dprnn_tpu.cli import generate_manifests, test as test_cli, train as train_cli
@@ -151,7 +152,8 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
     if not spe and n_src != 2:
         raise SystemExit("bss is 2-source (reference parity); use a tss variant for 3mix")
     scenario = [s for s in (f"{n_src}mix" if n_src != 2 else "",
-                            "noisy" if noisy else "", tag) if s]
+                            "noisy" if noisy else "",
+                            "varlen" if varlen else "", tag) if s]
     vdir = os.path.join(workdir, "_".join([variant] + scenario) if scenario else variant)
     os.makedirs(vdir, exist_ok=True)
     corpus = dict(n_src=n_src, noisy=noisy)
@@ -161,7 +163,9 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
 
     gen_cfg = dict(
         dataset_type="librimix_spe" if spe else "librimix",
-        sample_rate=SR, n_src=n_src, segment=3, seed=0,
+        # variable-length training freezes FULL utterances (segment=null);
+        # the loader buckets them and threads true lengths to the masked scans
+        sample_rate=SR, n_src=n_src, segment=None if varlen else 3, seed=0,
         train_path=train_csv, eval_path=eval_csv, test_path=test_csv,
         train_out=f"{vdir}/m/train.json", eval_out=f"{vdir}/m/eval.json",
         test_out=f"{vdir}/m/test.json",
@@ -177,7 +181,8 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
         seed=seed,
         data=dict(use_generated_train=f"{vdir}/m/train.json",
                   use_generated_eval=f"{vdir}/m/eval.json",
-                  batch_size=batch_size, sample_rate=SR, seed=seed, cache_wav=True),
+                  batch_size=batch_size, sample_rate=SR, seed=seed, cache_wav=True,
+                  **(dict(variable_length=True, n_buckets=3) if varlen else {})),
         model=train_model,
         optimizer=dict(lr=lr, weight_decay=1e-5),
         lr_scheduler=dict(patience=5, factor=0.5, decay_rate=None),
@@ -242,8 +247,13 @@ def main():
     ap.add_argument("--no-fast", action="store_true",
                     help="fp32 + XLA scan path (for CPU runs)")
     ap.add_argument("--sched", action="store_true",
-                    help="schedule_masks: true (value-neutral XLA scheduling "
-                         "pragma, ~4-9%% faster step — trainer.py)")
+                    help="schedule_masks: true (XLA scheduling pragma, ~4-9%% "
+                         "faster step; value-equivalent on fixed crops up to "
+                         "float reduction order — trainer.py)")
+    ap.add_argument("--varlen", action="store_true",
+                    help="variable-length training: full-utterance manifests "
+                         "(segment=null) + bucketed VarLenTrainLoader with true "
+                         "lengths into the masked scan kernels")
     ap.add_argument("--no-doc", action="store_true", help="don't append to CONVERGENCE.md")
     args = ap.parse_args()
 
@@ -253,7 +263,8 @@ def main():
         res = run_variant(args.variant, args.workdir, args.epochs, args.n_train,
                           args.n_eval, args.n_test, args.batch_size, args.lr,
                           fast=not args.no_fast, seed=args.seed, tag=args.tag,
-                          n_src=args.n_src, noisy=args.noisy, sched=args.sched)
+                          n_src=args.n_src, noisy=args.noisy, sched=args.sched,
+                          varlen=args.varlen)
     print(json.dumps(res))
     if not args.no_doc:
         doc = os.path.join(REPO, "CONVERGENCE.md")

@@ -99,6 +99,7 @@ def _remove_silent_frames(x: np.ndarray, y: np.ndarray):
     # members are disjoint and contiguous — one ravel-add per class instead
     # of a Python loop over every frame (same interleave trick as
     # ops/chunking.py's overlap_add)
+    assert _N_FRAME % _HOP == 0, "interleave-class overlap-add needs hop | frame"
     r = _N_FRAME // _HOP
     for j in range(r):
         fj = xf[j::r]

@@ -19,12 +19,23 @@ projection in HBM and re-reads it every step. This kernel instead:
 
 The backward direction of a BiLSTM reads time-reversed input. With no length
 masking the reversal is folded into the index maps + an in-kernel reversed
-sub-step order (zero copies); with per-sequence lengths the caller pre-flips
-via ``masked_flip`` and both directions run forward.
+sub-step order (zero copies); with per-sequence lengths the mask-aware
+``bilstm2_*_masked`` kernels start each row's reversed scan at its own length
+via an in-kernel predicate (the stacked ``masked_flip`` pre-flip path remains
+as the XLA-backend fallback).
 
-Gradients: inference-only. Training keeps the lax.scan path (identical math,
-tests/test_pallas_lstm.py asserts equality), toggled by ops.rnn's backend
-switch.
+Gradients: TRAINING runs on fused kernels too — the resid-emitting forwards
+(``lstm_forward_resid`` / ``bilstm2_forward_resid[_masked|_tm]``) write the
+(h_prev, c_prev, tanh(c)) residual streams in padded kernel layout, and the
+matching backward kernels (``lstm_backward`` / ``bilstm2_backward[_masked|
+_tm]``) consume them with zero host-side re-layout; ops/rnn.py's custom VJPs
+dispatch here whenever the pallas backend is active with ``save_every <= 1``
+(PARITY.md perf table: this pair IS the training fast path, 114 ms flagship
+step). The lax.scan path remains the segment-checkpointed (``save_every >
+1``) and XLA-backend route; tests/test_pallas_lstm.py + tests/test_lstm_grad
+assert value/grad equality between the two, and
+scripts/perf/grad_check_tpu.py re-verifies both masked and unmasked pairs on
+real hardware (BENCH_ALL.md PASS table).
 """
 
 from __future__ import annotations
@@ -832,7 +843,9 @@ def _bilstm2_core_tm(xk, w_ih2, b2, w_hh2, row_tile: int, unroll: int,
     (y0, y1) [Tp, Rp, Fo] = h_d @ wo2[d] (mutually exclusive with
     want_resid — training uses the unfused resid forward).
     With ``lens`` [R] the kernel runs mask-aware: dir-1 starts each row's
-    backward scan at its own length (inference-only; see bilstm2_forward_masked)."""
+    backward scan at its own length (used by bilstm2_forward_masked for
+    inference AND by bilstm2_forward_resid_masked, whose resid streams feed
+    the masked training backward)."""
     T, B, F = xk.shape
     H = w_hh2.shape[1]
     dense = wo2 is not None

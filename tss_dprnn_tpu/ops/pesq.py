@@ -179,7 +179,10 @@ def _estimate_delay(ref: np.ndarray, deg: np.ndarray, fs: int) -> int:
     # cross-correlation of the full signals yields every candidate lag's
     # dot product at once (the explicit per-lag np.dot loop was ~3*block
     # full-length dots, ~60% of a PESQ call's host time — profiled
-    # 2026-08-20); same first-max tie-breaking as the loop it replaces.
+    # 2026-08-20). Tie-break caveat: argmax keeps the FIRST max, like the
+    # loop it replaces, but irfft rounding (~1e-10 rel) can split an EXACT
+    # per-lag tie and resolve to a different lag — acceptable within the
+    # measured PESQ envelope (tests/test_pesq.py tolerances).
     lag_w = np.arange(coarse - block - block // 2,
                       coarse + block + block // 2 + 1)
     lag_w = lag_w[(n - np.abs(lag_w)) >= block]  # k < block skipped

@@ -66,8 +66,9 @@ def lstm_save_every(q: int):
 
 # Scheduling pragma (trainer config `schedule_masks: true`): treat `lengths`
 # as None inside the scans while the rest of the graph keeps its mask ops.
-# ONLY valid when every row is full-length (training's fixed crops) — the
-# values are then identical, but the mask elementwise ops nudge XLA into a
+# ONLY valid when every row is full-length (training's fixed crops) — values
+# then agree up to float reduction order (masked norms reduce as sum(x*m)/n
+# vs mean(x); NOT bitwise), and the mask elementwise ops nudge XLA into a
 # measurably better fusion/layout plan (ROUND_NOTES session 10: the masked
 # inference graph beats the unmasked one by ~10% on pure glue; threading
 # all-ones masks through the TRAIN graph with unmasked scans reproduced
@@ -405,18 +406,6 @@ def _recurrence3_vjp_bwd(res, g):
 
 
 _recurrence3.defvjp(_recurrence3_vjp_fwd, _recurrence3_vjp_bwd)
-
-
-def _masked_pair_stacked(x, lens, w_ih2, b2, w_hh2):
-    """Differentiable reference for the masked direction pair: the stacked
-    pre-flip path (masked_flip input, stacked scan, masked_flip output) —
-    exactly what ``lstm()`` runs for masked sequences on the XLA backend."""
-    xr = masked_flip(x, lens, time_axis=1)
-    xx = jnp.stack([x, xr])
-    hs = _recurrence(_LSTM_SAVE_EVERY.get(), xx, w_ih2, b2, w_hh2)
-    out_f = jnp.transpose(hs[:, 0], (1, 0, 2))
-    out_b = masked_flip(jnp.transpose(hs[:, 1], (1, 0, 2)), lens, time_axis=1)
-    return out_f, out_b
 
 
 def _zero_lens_cotangent(lens):

@@ -87,8 +87,10 @@ class Trainer:
         self.lstm_save_every = int(config.get("lstm_save_every", 1))
         # scheduling pragma: thread all-ones masks through the train/eval
         # graphs while the scans ignore them (rnn.lstm_ignore_lengths) —
-        # numerically identical on fixed-length crops, and the mask
-        # elementwise ops nudge XLA into a measurably better fusion plan
+        # value-equivalent on fixed-length crops up to float reduction order
+        # (masked norms compute sum(x*m)/n vs mean(x): NOT bitwise, so
+        # toggling it mid-run perturbs the trajectory at float level), and
+        # the mask elementwise ops nudge XLA into a measurably better plan
         # (113.9 vs 118.4/118.8 ms flagship fast-path step, 2x measured
         # 2026-08-20, ROUND_NOTES session 10). Off by default: it is a
         # compiler-schedule lever, not semantics.
