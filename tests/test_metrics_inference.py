@@ -218,3 +218,49 @@ def test_rawnet_inferencer_end_to_end(tmp_path):
     assert np.isfinite(final["si_sdr"])
     saved = json.loads((tmp_path / "metrics_rn" / "final_metrics.json").read_text())
     assert saved["si_sdr"] == pytest.approx(final["si_sdr"])
+
+
+def test_device_metrics_match_host_bss(tmp_path):
+    """device_metrics lane (PIT reorder + SI-SDR + STOI on device) must
+    reproduce the host lane's per-row CSV within the fp32 envelope."""
+    import pandas as pd
+
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=2.5)
+    test_set = Librimix(csv_path=csv, segment=None)
+    model = DPRNNTasNet(**TINY)
+    path = _save_random_checkpoint(tmp_path, model, (np.zeros((1, SR), np.float32),))
+    frames = []
+    for dev, sub in ((False, "host"), (True, "dev")):
+        config = {"checkpoint_path": path, "test_savedir": str(tmp_path / sub),
+                  "data": {"sample_rate": SR}, "metrics": ["si_sdr", "stoi"],
+                  "device_metrics": dev}
+        inf = Inferencer(model, config)
+        inf.run(test_set, batch_size=3, n_buckets=2, bucket_multiple=4000)
+        frames.append(pd.read_csv(tmp_path / sub / "all_metrics.csv", index_col=0))
+    host, dev = frames
+    for col in ("si_sdr", "input_si_sdr"):
+        np.testing.assert_allclose(dev[col], host[col], atol=2e-3)
+    for col in ("stoi", "input_stoi"):
+        np.testing.assert_allclose(dev[col], host[col], atol=2e-3)
+
+
+def test_device_metrics_match_host_spe(tmp_path):
+    import pandas as pd
+
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=2.0)
+    test_set = LibrimixSpe(csv_path=csv, segment=None)
+    model = DPRNNSpeTasNet(**TINY, O=8, P=12, embeddings_size=8, num_spks=8,
+                           fusion_type="att")
+    z = np.zeros((1, SR), np.float32)
+    path = _save_random_checkpoint(tmp_path, model, (z, z, np.array([SR], np.float32)))
+    frames = []
+    for dev, sub in ((False, "host_s"), (True, "dev_s")):
+        config = {"checkpoint_path": path, "test_savedir": str(tmp_path / sub),
+                  "data": {"sample_rate": SR}, "metrics": ["si_sdr", "stoi"],
+                  "device_metrics": dev}
+        inf = InferencerSpe(model, config)
+        inf.run(test_set, batch_size=2, n_buckets=2, bucket_multiple=4000)
+        frames.append(pd.read_csv(tmp_path / sub / "all_metrics.csv", index_col=0))
+    host, dev = frames
+    for col in ("si_sdr", "input_si_sdr", "stoi", "input_stoi"):
+        np.testing.assert_allclose(dev[col], host[col], atol=2e-3)

@@ -26,11 +26,18 @@ def main(argv=None):
     parser.add_argument("--data-parallel", type=int, default=1, metavar="N",
                         help="shard eval batches over an N-device mesh "
                              "(0 = all devices; default 1 = single-chip)")
+    parser.add_argument("--device-metrics", action="store_true",
+                        help="compute PIT reorder + SI-SDR + STOI on the TPU "
+                             "inside the forward graph (only PESQ stays on "
+                             "host); values match the host metrics within "
+                             "the fp32 envelope (tests/test_stoi_jax.py)")
     args = parser.parse_args(argv)
 
     logger = get_logger("test")
     config = load_config(args.config, args.set)
     config.setdefault("is_test", True)
+    if args.device_metrics:
+        config["device_metrics"] = True
     spe, InferencerClass = inference_components(args.mode)
 
     logger.info("Initializing test set....")

@@ -25,10 +25,34 @@ class InferencerSpe(Inferencer):
         )
         return est
 
+    _batch_keys = ("mix", "target", "reference", "ref_len", "lengths")
+
+    def _forward_with_metrics(self, batch):
+        """Single-source TSS: no PIT — SI-SDR/STOI of (target, est) and
+        (target, mix) on device; PESQ stays host."""
+        from tss_dprnn_tpu.ops import losses
+        from tss_dprnn_tpu.ops.stoi_jax import stoi_batch
+
+        est = self._forward(batch)  # [B, T]
+        lens = batch["lengths"]
+        target = batch["target"]
+        dm = {}
+        if "si_sdr" in self.metrics:
+            dm["si_sdr"] = losses.masked_si_sdr(est, target, lens)
+            dm["input_si_sdr"] = losses.masked_si_sdr(batch["mix"], target, lens)
+        if "stoi" in self.metrics:
+            dm["stoi"] = stoi_batch(target, est, lens, self.sample_rate)
+            dm["input_stoi"] = stoi_batch(target, batch["mix"], lens, self.sample_rate)
+        return est, dm
+
     def _run_forward(self, batch):
+        if self.device_metrics:
+            d = self._device_batch({k: batch[k] for k in self._batch_keys})
+            est, dm = self._fwd(d)
+            return np.asarray(est), {k: np.asarray(v) for k, v in dm.items()}
         keys = ("mix", "reference", "ref_len", "lengths")
         d = self._device_batch({k: batch[k] for k in keys})
-        return np.asarray(self._fwd(d))
+        return np.asarray(self._fwd(d)), None
 
     def _make_loader(self, test_set, batch_size, n_buckets, multiple):
         collate = make_collate_spe_eval(
@@ -39,7 +63,7 @@ class InferencerSpe(Inferencer):
             n_buckets=n_buckets, multiple=multiple, pad_to_batch=self.mesh is not None,
         )
 
-    def _metric_rows(self, batch, out) -> List[Dict[str, Any]]:
+    def _metric_rows(self, batch, out, dm=None) -> List[Dict[str, Any]]:
         rows = []
         for b in range(batch["mix"].shape[0]):
             if int(batch["indices"][b]) < 0:
@@ -48,7 +72,14 @@ class InferencerSpe(Inferencer):
             mix = batch["mix"][b, :l]
             target = batch["target"][b, :l]
             est = np.asarray(out[b])[:l]
-            md = metrics_mod.get_metrics(mix, target, est, self.sample_rate, self.metrics)
+            if dm is None:
+                md = metrics_mod.get_metrics(mix, target, est, self.sample_rate,
+                                             self.metrics)
+            else:
+                md = self._rows_from_device(batch, b, dm)
+                if "pesq" in self.metrics:
+                    md.update(metrics_mod.get_metrics(
+                        mix, target, est, self.sample_rate, ["pesq"]))
             md["index"] = int(batch["indices"][b])
             md["_batch_row"] = b  # consumed by _emit_rows, dropped before save
             rows.append(md)
