@@ -115,6 +115,36 @@ def battery(fs):
     ]
 
 
+def sparse_voiced(fs: int, seconds: float = 6.0, seed: int = 0) -> np.ndarray:
+    """Voiced-only harmonic material with DEEP spectral valleys — the
+    spectral sparsity regime of real speech vowels. Nonlinear distortion
+    products (clipping harmonics, companding noise) land in the valleys
+    here, where P.862's asymmetry gate and 0.25*min masking actually see
+    them — on the broadband ``speech_like`` material they are spectrally
+    coincident with reference energy and (faithfully, per spec) masked.
+    See PARITY.md 'clip/mu-law leniency root cause' (round 4)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * fs)) / fs
+    env = (np.sin(2 * np.pi * 1.1 * t) ** 2) * (np.sin(2 * np.pi * 0.27 * t) > -0.4)
+    f0 = 140.0
+    x = env * sum(np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 6)) / k
+                  for k in range(1, 9))
+    return (x / np.abs(x).max() * 0.5).astype(np.float64)
+
+
+def nonlinear_battery(fs):
+    """Clipping/companding on sparse voiced material: published-window pins
+    for the nonlinear families (the broadband battery's clip rows are
+    material-lenient, not implementation-lenient — measured round 4)."""
+    ref = sparse_voiced(fs)
+    return [
+        ("clip", "sparse clip 50%", clip(ref, 0.5), (2.3, 4.2)),
+        ("clip", "sparse clip 25%", clip(ref, 0.25), (1.9, 3.6)),
+        ("clip", "sparse clip 10%", clip(ref, 0.10), (1.4, 3.2)),
+        ("codec", "sparse mu-law 4 bit", mu_law_bits(ref, 4), (1.8, 3.6)),
+    ]
+
+
 # ---------------------------------------------------------------- hold-out
 # Families NOT used to select _FREQ_COMP_OFFSET (round-2 VERDICT weak #4):
 # the re-scale was fitted on the band-limit/noise anchors above; these check
@@ -196,8 +226,12 @@ def main():
     fs = int(sys.argv[sys.argv.index("--fs") + 1]) if "--fs" in sys.argv else 8000
     mode = "wb" if fs == 16000 else "nb"
     holdout = "--holdout" in sys.argv
+    nonlinear = "--nonlinear" in sys.argv
     if holdout:
         ref, cases = holdout_battery(fs)
+    elif nonlinear:
+        ref = sparse_voiced(fs)
+        cases = nonlinear_battery(fs)
     else:
         ref = speech_like(fs)
         cases = battery(fs)
@@ -214,8 +248,9 @@ def main():
         print(f"| {fam} | {label} | {m:.2f} | [{lo:.1f}, {hi:.1f}] | {'yes' if inwin else 'NO'} |")
     # monotonicity within each ordered family
     print()
-    fams = ("reverb", "nbnoise", "babble", "am") if holdout else \
-        ("noise", "bandlimit", "clip", "codec")
+    fams = (("reverb", "nbnoise", "babble", "am") if holdout else
+            ("clip",) if nonlinear else
+            ("noise", "bandlimit", "clip", "codec"))
     for fam in fams:
         vals = [r[2] for r in rows if r[0] == fam]
         mono = all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
