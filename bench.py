@@ -148,13 +148,96 @@ def main():
     realtime = audio_sec / dt
     lane = ("masked-bucketed-eval" if masked else "unmasked") + \
         (" (bf16+pallas)" if fast else " (fp32+xla)")
-    print(json.dumps({
+    result = {
         "metric": "separated_audio_sec_per_sec_per_chip",
         "value": round(realtime, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(realtime / 50.0, 3),
         "lane": lane,
-    }))
+    }
+    try:
+        result.update(_roofline(fwd, (mix_d, aux_d, len_d), B, T, dt / iters,
+                                bf16=fast))
+    except Exception as e:  # roofline is reporting, never bench-fatal
+        print(f"# roofline skipped: {e}", file=sys.stderr, flush=True)
+    print(json.dumps(result))
+
+
+def _roofline(fwd, args, B, T, iter_s, bf16):
+    """Roofline context for the headline number (round-3 VERDICT item 4):
+
+    - ``hbm_gbps`` / ``hbm_util``: achieved HBM bandwidth from the ANALYTIC
+      byte model blessed in BENCH_ALL.md's mega-fusion close-out (per
+      scan-adjacent tensor = positions x 128 ch x itemsize; ~10 tensor
+      round-trips per scan across kernel + SplitDense + norm/residual,
+      12 scans, +8% for encoder/fusion/mask-head glue; +-20% estimate),
+      divided by the v5e sustained peak (819 GB/s x 70%).
+    - ``scan_share``: measured fraction of device time inside the Mosaic
+      scan kernels (VPU-latency-bound floor — this part cannot be bought
+      back with bandwidth), from a 2-iteration jax.profiler trace.
+    - ``mxu_share``: measured fraction in convolution/dot ops.
+    """
+    import glob
+    import gzip
+    import os
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    import jax
+
+    K, HOP, N = 250, 125, 128
+    Lf = T - 1
+    S = (Lf + K) // HOP + 1
+    pos = B * S * K
+    itemsize = 2 if bf16 else 4
+    bytes_t = pos * N * itemsize
+    bytes_iter = 12 * 10 * bytes_t * 1.08
+    hbm_gbps = bytes_iter / iter_s / 1e9
+    sustained = 819.0 * 0.70
+
+    td = tempfile.mkdtemp(prefix="bench_roofline_")
+    try:
+        jax.profiler.start_trace(td)
+        for _ in range(2):
+            out = fwd(*args)
+        out.block_until_ready()
+        jax.profiler.stop_trace()
+        paths = glob.glob(os.path.join(td, "**", "*.trace.json.gz"), recursive=True)
+        scan = mxu = total = 0.0
+        if paths:
+            import json as _json
+
+            with gzip.open(sorted(paths)[-1], "rt") as f:
+                tr = _json.load(f)
+            ev = tr["traceEvents"]
+            pid_names = {e["pid"]: e["args"].get("name", "") for e in ev
+                         if e.get("ph") == "M" and e.get("name") == "process_name"}
+            for e in ev:
+                if e.get("ph") != "X":
+                    continue
+                pname = pid_names.get(e.get("pid"), "")
+                if "TPU" not in pname and "/device" not in pname.lower():
+                    continue
+                name = e.get("name", "").lower()
+                if name.startswith("jit_"):
+                    continue  # enclosing envelope event — would double-count
+                d = e.get("dur", 0)
+                total += d
+                # Mosaic kernels carry their kernel function name (bilstm*/
+                # lstm*); "custom" covers other pallas entry points
+                if "lstm" in name or "custom" in name:
+                    scan += d
+                elif "convolution" in name or name.startswith("dot") or "einsum" in name:
+                    mxu += d
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    out = {"hbm_gbps": round(hbm_gbps, 1),
+           "hbm_util": round(hbm_gbps / sustained, 3)}
+    if total > 0:
+        out["scan_share"] = round(scan / total, 3)
+        out["mxu_share"] = round(mxu / total, 3)
+    return out
 
 
 if __name__ == "__main__":

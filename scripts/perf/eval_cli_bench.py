@@ -31,12 +31,17 @@ def main():
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 8
     metrics = (sys.argv[sys.argv.index("--metrics") + 1].split(",")
                if "--metrics" in sys.argv else ["si_sdr", "stoi", "pesq"])
+    device_metrics = "--device-metrics" in sys.argv
 
     from tss_dprnn_tpu.utils.tpu_jobs import reap_tpu_jobs
 
     reap_tpu_jobs(log=lambda m: print(m, file=sys.stderr, flush=True))
 
     import jax
+
+    from tss_dprnn_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
 
     from __graft_entry__ import FLAGSHIP
     from tests.fixtures import make_mini_librimix
@@ -64,7 +69,7 @@ def main():
                                variables.get("batch_stats", {}))}, best=True)
         cfg = {"checkpoint_path": path, "test_savedir": td + "/out",
                "metrics": metrics, "data": {"sample_rate": 8000},
-               "lstm_backend": "pallas"}
+               "lstm_backend": "pallas", "device_metrics": device_metrics}
         inf = InferencerSpe(model, cfg)
 
         # warm pass compiles every bucket shape; timed pass measures steady
@@ -82,6 +87,7 @@ def main():
         "n_utts": n_mix,
         "batch": batch,
         "metrics": metrics,
+        "device_metrics": device_metrics,
         "total_audio_sec": round(total_audio_sec, 1),
         "wall_sec": round(dt, 2),
         "vs_baseline": round(total_audio_sec / dt / 50.0, 3),

@@ -264,3 +264,29 @@ def test_device_metrics_match_host_spe(tmp_path):
     host, dev = frames
     for col in ("si_sdr", "input_si_sdr", "stoi", "input_stoi"):
         np.testing.assert_allclose(dev[col], host[col], atol=2e-3)
+
+
+def test_device_metrics_pesq_wire_matches_host(tmp_path):
+    """With 'pesq' in metrics the separated audio crosses to the host as
+    int16 PCM (+ per-row scale); PESQ on the decoded audio must match PESQ
+    on the full-precision host-lane estimate to well under the metric's
+    resolution (quantization sits at -96 dBFS)."""
+    import pandas as pd
+
+    csv = make_mini_librimix(str(tmp_path), n_mix=4, min_sec=1.0, max_sec=1.8)
+    test_set = LibrimixSpe(csv_path=csv, segment=None)
+    model = DPRNNSpeTasNet(**TINY, O=8, P=12, embeddings_size=8, num_spks=8,
+                           fusion_type="att")
+    z = np.zeros((1, SR), np.float32)
+    path = _save_random_checkpoint(tmp_path, model, (z, z, np.array([SR], np.float32)))
+    frames = []
+    for dev, sub in ((False, "h_p"), (True, "d_p")):
+        config = {"checkpoint_path": path, "test_savedir": str(tmp_path / sub),
+                  "data": {"sample_rate": SR},
+                  "metrics": ["si_sdr", "stoi", "pesq"], "device_metrics": dev}
+        inf = InferencerSpe(model, config)
+        inf.run(test_set, batch_size=2, n_buckets=2, bucket_multiple=4000)
+        frames.append(pd.read_csv(tmp_path / sub / "all_metrics.csv", index_col=0))
+    host, dev = frames
+    np.testing.assert_allclose(dev["pesq"], host["pesq"], atol=5e-3)
+    np.testing.assert_allclose(dev["input_pesq"], host["input_pesq"], atol=5e-3)

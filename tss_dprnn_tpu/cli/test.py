@@ -17,6 +17,9 @@ from tss_dprnn_tpu.utils.logging_util import get_logger
 
 
 def main(argv=None):
+    from tss_dprnn_tpu.utils.compile_cache import enable as _cc
+
+    _cc()  # persistent XLA cache: later runs skip the 30-120 s compiles
     parser = argparse.ArgumentParser(description="tss_dprnn_tpu evaluation")
     parser.add_argument("--config", required=True)
     parser.add_argument("--mode", default="bss", choices=MODES)

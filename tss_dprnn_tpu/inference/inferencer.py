@@ -130,13 +130,42 @@ class Inferencer:
             dm["input_stoi"] = jnp.stack(
                 [stoi_batch(batch["sources"][:, j], batch["mix"], lens, self.sample_rate)
                  for j in range(n_src)], axis=1)
-        return est, dm
+        return self._encode_wire(est), dm
+
+    # Host-side consumers of the separated audio in the device-metrics lane
+    # (PESQ, reporter audio rows) — when none apply, the audio never leaves
+    # the device: the device->host transfer is the dominant e2e cost on
+    # PCIe-constrained links (measured 4.7 s of a 4.8 s eval on the dev
+    # tunnel) and pure waste when only SI-SDR/STOI are requested.
+    def _need_est_on_host(self) -> bool:
+        return "pesq" in self.metrics or self.reporter is not None
+
+    def _encode_wire(self, est):
+        """int16 PCM wire format for the device->host audio transfer (half
+        of fp32; quantization at -96 dBFS — orders of magnitude below any
+        metric's sensitivity). Skipped entirely when nothing on host needs
+        the audio."""
+        import jax.numpy as jnp
+
+        if not self._need_est_on_host():
+            return None
+        peak = jnp.max(jnp.abs(est), axis=-1, keepdims=True)
+        scale = 32767.0 / jnp.maximum(peak, 1e-9)
+        return (jnp.clip(est * scale, -32767, 32767).astype(jnp.int16),
+                (1.0 / scale).astype(jnp.float32))
+
+    @staticmethod
+    def _decode_wire(wire):
+        if wire is None:
+            return None
+        pcm, scale = wire
+        return np.asarray(pcm).astype(np.float32) * np.asarray(scale)
 
     def _run_forward(self, batch):
         if self.device_metrics:
             d = self._device_batch({k: batch[k] for k in self._batch_keys})
-            est, dm = self._fwd(d)
-            return np.asarray(est), {k: np.asarray(v) for k, v in dm.items()}
+            wire, dm = self._fwd(d)
+            return self._decode_wire(wire), {k: np.asarray(v) for k, v in dm.items()}
         d = self._device_batch({"mix": batch["mix"], "lengths": batch["lengths"]})
         return np.asarray(self._fwd(d)), None
 
@@ -164,9 +193,9 @@ class Inferencer:
                 md = metrics_mod.get_metrics(mix, sources, est, self.sample_rate,
                                              self.metrics)
             else:
-                est = np.asarray(out[b])[:, :l]  # device-reordered
                 md = self._rows_from_device(batch, b, dm)
                 if "pesq" in self.metrics:
+                    est = np.asarray(out[b])[:, :l]  # device-reordered
                     md.update(metrics_mod.get_metrics(
                         mix, sources, est, self.sample_rate, ["pesq"]))
             md["index"] = int(batch["indices"][b])

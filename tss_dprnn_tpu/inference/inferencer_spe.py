@@ -43,13 +43,13 @@ class InferencerSpe(Inferencer):
         if "stoi" in self.metrics:
             dm["stoi"] = stoi_batch(target, est, lens, self.sample_rate)
             dm["input_stoi"] = stoi_batch(target, batch["mix"], lens, self.sample_rate)
-        return est, dm
+        return self._encode_wire(est), dm
 
     def _run_forward(self, batch):
         if self.device_metrics:
             d = self._device_batch({k: batch[k] for k in self._batch_keys})
-            est, dm = self._fwd(d)
-            return np.asarray(est), {k: np.asarray(v) for k, v in dm.items()}
+            wire, dm = self._fwd(d)
+            return self._decode_wire(wire), {k: np.asarray(v) for k, v in dm.items()}
         keys = ("mix", "reference", "ref_len", "lengths")
         d = self._device_batch({k: batch[k] for k in keys})
         return np.asarray(self._fwd(d)), None
@@ -71,13 +71,14 @@ class InferencerSpe(Inferencer):
             l = int(batch["lengths"][b])
             mix = batch["mix"][b, :l]
             target = batch["target"][b, :l]
-            est = np.asarray(out[b])[:l]
             if dm is None:
+                est = np.asarray(out[b])[:l]
                 md = metrics_mod.get_metrics(mix, target, est, self.sample_rate,
                                              self.metrics)
             else:
                 md = self._rows_from_device(batch, b, dm)
                 if "pesq" in self.metrics:
+                    est = np.asarray(out[b])[:l]
                     md.update(metrics_mod.get_metrics(
                         mix, target, est, self.sample_rate, ["pesq"]))
             md["index"] = int(batch["indices"][b])

