@@ -32,6 +32,7 @@ def main():
     metrics = (sys.argv[sys.argv.index("--metrics") + 1].split(",")
                if "--metrics" in sys.argv else ["si_sdr", "stoi", "pesq"])
     device_metrics = "--device-metrics" in sys.argv
+    device_pesq = "--device-pesq" in sys.argv
 
     from tss_dprnn_tpu.utils.tpu_jobs import reap_tpu_jobs
 
@@ -69,7 +70,8 @@ def main():
                                variables.get("batch_stats", {}))}, best=True)
         cfg = {"checkpoint_path": path, "test_savedir": td + "/out",
                "metrics": metrics, "data": {"sample_rate": 8000},
-               "lstm_backend": "pallas", "device_metrics": device_metrics}
+               "lstm_backend": "pallas", "device_metrics": device_metrics,
+               "device_pesq": device_pesq}
         inf = InferencerSpe(model, cfg)
 
         # warm pass compiles every bucket shape; timed pass measures steady
@@ -88,6 +90,7 @@ def main():
         "batch": batch,
         "metrics": metrics,
         "device_metrics": device_metrics,
+        "device_pesq": device_pesq,
         "total_audio_sec": round(total_audio_sec, 1),
         "wall_sec": round(dt, 2),
         "vs_baseline": round(total_audio_sec / dt / 50.0, 3),

@@ -290,3 +290,32 @@ def test_device_metrics_pesq_wire_matches_host(tmp_path):
     host, dev = frames
     np.testing.assert_allclose(dev["pesq"], host["pesq"], atol=5e-3)
     np.testing.assert_allclose(dev["input_pesq"], host["input_pesq"], atol=5e-3)
+
+
+def test_device_pesq_full_triple_matches_host(tmp_path):
+    """device_pesq: the ENTIRE metric triple runs on device (audio never
+    crosses to host). Per-row CSV must match the host lane: si_sdr/stoi to
+    the fp32 envelope, pesq to the documented 0.05-MOS device-chain gate."""
+    import pandas as pd
+
+    csv = make_mini_librimix(str(tmp_path), n_mix=4, min_sec=1.0, max_sec=1.8)
+    test_set = LibrimixSpe(csv_path=csv, segment=None)
+    model = DPRNNSpeTasNet(**TINY, O=8, P=12, embeddings_size=8, num_spks=8,
+                           fusion_type="att")
+    z = np.zeros((1, SR), np.float32)
+    path = _save_random_checkpoint(tmp_path, model, (z, z, np.array([SR], np.float32)))
+    frames = []
+    for cfg_extra, sub in (({}, "h_t"), ({"device_pesq": True}, "d_t")):
+        config = {"checkpoint_path": path, "test_savedir": str(tmp_path / sub),
+                  "data": {"sample_rate": SR},
+                  "metrics": ["si_sdr", "stoi", "pesq"], **cfg_extra}
+        inf = InferencerSpe(model, config)
+        if cfg_extra:
+            assert not inf._need_est_on_host()  # audio stays on device
+        inf.run(test_set, batch_size=2, n_buckets=2, bucket_multiple=4000)
+        frames.append(pd.read_csv(tmp_path / sub / "all_metrics.csv", index_col=0))
+    host, dev = frames
+    for col in ("si_sdr", "input_si_sdr", "stoi", "input_stoi"):
+        np.testing.assert_allclose(dev[col], host[col], atol=2e-3)
+    for col in ("pesq", "input_pesq"):
+        np.testing.assert_allclose(dev[col], host[col], atol=0.05)

@@ -34,6 +34,11 @@ def main(argv=None):
                              "inside the forward graph (only PESQ stays on "
                              "host); values match the host metrics within "
                              "the fp32 envelope (tests/test_stoi_jax.py)")
+    parser.add_argument("--device-pesq", action="store_true",
+                        help="also run PESQ on the TPU (ops/pesq_jax.py, "
+                             "|delta| <= 0.05 MOS vs the host chain) — the "
+                             "whole metric triple then stays on device and "
+                             "the separated audio never crosses to host")
     args = parser.parse_args(argv)
 
     logger = get_logger("test")
@@ -41,6 +46,8 @@ def main(argv=None):
     config.setdefault("is_test", True)
     if args.device_metrics:
         config["device_metrics"] = True
+    if args.device_pesq:
+        config["device_pesq"] = True
     spe, InferencerClass = inference_components(args.mode)
 
     logger.info("Initializing test set....")

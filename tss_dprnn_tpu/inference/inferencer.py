@@ -69,6 +69,12 @@ class Inferencer:
         # (tests/test_stoi_jax.py, tests/test_metrics_inference.py); the
         # default stays the host path (reference-parity float64).
         self.device_metrics = bool(config.get("device_metrics", False))
+        # device_pesq moves PESQ itself onto the TPU too (ops/pesq_jax.py,
+        # |delta| <= 0.05 MOS vs the host chain, tests/test_pesq_jax.py):
+        # the separated audio then never leaves the device at all
+        self.device_pesq = bool(config.get("device_pesq", False))
+        if self.device_pesq:
+            self.device_metrics = True
         # Multi-chip eval (replaces the reference's serial per-utterance loop,
         # src/inferencers/inferencer.py:48-78, at scale): variables replicate
         # over the mesh, bucketed batches shard axis 0 over the 'data' axis,
@@ -130,6 +136,16 @@ class Inferencer:
             dm["input_stoi"] = jnp.stack(
                 [stoi_batch(batch["sources"][:, j], batch["mix"], lens, self.sample_rate)
                  for j in range(n_src)], axis=1)
+        if "pesq" in self.metrics and self.device_pesq:
+            from tss_dprnn_tpu.ops.pesq_jax import pesq_batch
+
+            n_src = est.shape[1]
+            dm["pesq"] = jnp.stack(
+                [pesq_batch(batch["sources"][:, j], est[:, j], lens, self.sample_rate)
+                 for j in range(n_src)], axis=1)
+            dm["input_pesq"] = jnp.stack(
+                [pesq_batch(batch["sources"][:, j], batch["mix"], lens, self.sample_rate)
+                 for j in range(n_src)], axis=1)
         return self._encode_wire(est), dm
 
     # Host-side consumers of the separated audio in the device-metrics lane
@@ -138,7 +154,8 @@ class Inferencer:
     # PCIe-constrained links (measured 4.7 s of a 4.8 s eval on the dev
     # tunnel) and pure waste when only SI-SDR/STOI are requested.
     def _need_est_on_host(self) -> bool:
-        return "pesq" in self.metrics or self.reporter is not None
+        host_pesq = "pesq" in self.metrics and not self.device_pesq
+        return host_pesq or self.reporter is not None
 
     def _encode_wire(self, est):
         """int16 PCM wire format for the device->host audio transfer (half
@@ -194,7 +211,7 @@ class Inferencer:
                                              self.metrics)
             else:
                 md = self._rows_from_device(batch, b, dm)
-                if "pesq" in self.metrics:
+                if "pesq" in self.metrics and "pesq" not in dm:
                     est = np.asarray(out[b])[:, :l]  # device-reordered
                     md.update(metrics_mod.get_metrics(
                         mix, sources, est, self.sample_rate, ["pesq"]))
@@ -207,8 +224,8 @@ class Inferencer:
         like the host get_metrics facade)."""
         md: Dict[str, Any] = {}
         for name in self.metrics:
-            if name == "pesq":
-                continue
+            if name not in dm:
+                continue  # pesq without device_pesq: host branch fills it
             md[name] = float(np.mean(dm[name][b]))
             md["input_" + name] = float(np.mean(dm["input_" + name][b]))
         return md

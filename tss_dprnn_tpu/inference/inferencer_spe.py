@@ -43,6 +43,11 @@ class InferencerSpe(Inferencer):
         if "stoi" in self.metrics:
             dm["stoi"] = stoi_batch(target, est, lens, self.sample_rate)
             dm["input_stoi"] = stoi_batch(target, batch["mix"], lens, self.sample_rate)
+        if "pesq" in self.metrics and self.device_pesq:
+            from tss_dprnn_tpu.ops.pesq_jax import pesq_batch
+
+            dm["pesq"] = pesq_batch(target, est, lens, self.sample_rate)
+            dm["input_pesq"] = pesq_batch(target, batch["mix"], lens, self.sample_rate)
         return self._encode_wire(est), dm
 
     def _run_forward(self, batch):
@@ -77,7 +82,7 @@ class InferencerSpe(Inferencer):
                                              self.metrics)
             else:
                 md = self._rows_from_device(batch, b, dm)
-                if "pesq" in self.metrics:
+                if "pesq" in self.metrics and "pesq" not in dm:
                     est = np.asarray(out[b])[:l]
                     md.update(metrics_mod.get_metrics(
                         mix, target, est, self.sample_rate, ["pesq"]))
