@@ -332,7 +332,7 @@ class BucketedEvalLoader:
     def __init__(self, dataset, batch_size: int, collate_fn, lengths: Sequence[int],
                  n_buckets: int = 8, multiple: int = 2000,
                  process_index: Optional[int] = None, process_count: Optional[int] = None,
-                 pad_to_batch: bool = False):
+                 pad_to_batch: bool = False, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -343,6 +343,11 @@ class BucketedEvalLoader:
         # (padded rows get index -1): every batch then has the same static
         # shape — one compile per bucket, and axis 0 divides a mesh data axis
         self.pad_to_batch = pad_to_batch
+        # background WAV-decode/collate thread (same double-buffer pattern as
+        # TrainLoader): the next batch materializes while the consumer waits
+        # on the device — soundfile/numpy release the GIL, so this overlaps
+        # even on modest hosts. 0 disables (bitwise-identical batches).
+        self.prefetch = prefetch
 
     def _bucket_of(self, length: int) -> int:
         for b in self.bounds:
@@ -364,17 +369,40 @@ class BucketedEvalLoader:
             plan = plan[self.process_index :: self.process_count]
         return plan
 
+    def _materialize(self, bucket_T, chunk):
+        items = [self.dataset[int(i)] for i in chunk]
+        lengths = self.lengths[chunk].astype(np.int32)
+        indices = np.asarray(chunk, np.int32)
+        if self.pad_to_batch and len(items) < self.batch_size:
+            pad = self.batch_size - len(items)
+            items = items + [items[-1]] * pad
+            lengths = np.concatenate([lengths, np.repeat(lengths[-1:], pad)])
+            indices = np.concatenate([indices, np.full((pad,), -1, np.int32)])
+        batch = self.collate_fn(items, bucket_T)
+        batch["lengths"] = lengths
+        batch["indices"] = indices
+        return batch
+
     def __iter__(self):
-        for bucket_T, chunk in self._batch_plan():
-            items = [self.dataset[int(i)] for i in chunk]
-            lengths = self.lengths[chunk].astype(np.int32)
-            indices = np.asarray(chunk, np.int32)
-            if self.pad_to_batch and len(items) < self.batch_size:
-                pad = self.batch_size - len(items)
-                items = items + [items[-1]] * pad
-                lengths = np.concatenate([lengths, np.repeat(lengths[-1:], pad)])
-                indices = np.concatenate([indices, np.full((pad,), -1, np.int32)])
-            batch = self.collate_fn(items, bucket_T)
-            batch["lengths"] = lengths
-            batch["indices"] = indices
-            yield batch
+        plan = self._batch_plan()
+        if self.prefetch <= 0:
+            for bucket_T, chunk in plan:
+                yield self._materialize(bucket_T, chunk)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for bucket_T, chunk in plan:
+                    q.put(self._materialize(bucket_T, chunk))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
