@@ -102,3 +102,20 @@ def test_pesq_batch_too_short_nan(rng):
     ref[0, :1000] = 0.1
     got = np.asarray(pesq_batch(ref, ref, np.array([1000], np.int32), sr))
     assert np.isnan(got[0])
+
+
+def test_pesq_batch_wideband_matches_host(rng):
+    sr = 16000
+    T = 3 * sr
+    lens = np.array([T, int(2.1 * sr)], np.int32)
+
+    def degrade(c, b):
+        noise = rng.standard_normal(len(c)).astype(np.float32)
+        noise *= np.sqrt(np.mean(c**2) / np.mean(noise**2)) * 10 ** (-[25.0, 15.0][b] / 20)
+        return c + noise
+
+    ref, deg = _batch(rng, lens, T, sr, degrade)
+    got = np.asarray(pesq_batch(ref, deg, lens, sr, "wb"))
+    want = np.array([host_pesq(sr, ref[b, : lens[b]], deg[b, : lens[b]], "wb")
+                     for b in range(len(lens))])
+    np.testing.assert_allclose(got, want, atol=0.05)

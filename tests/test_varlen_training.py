@@ -6,8 +6,6 @@ Capability superset over the reference, which trains fixed 3-s crops only
 (src/datasets/librimix.py:55-64); the masked-scan kernels this exercises are
 hardware-verified by scripts/perf/grad_check_tpu.py (masked mode)."""
 
-import json
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -295,6 +293,4 @@ def test_cli_varlen_workflow(tmp_path):
     train_cli.main(["--config", str(p), "--mode", "tss_spe"])
     ckpts = list((tmp_path / "chkpts").iterdir())
     assert ckpts, "variable-length training produced no checkpoints"
-    saved = json.loads((ckpts[0] / "tree.json").read_text()) if (
-        ckpts[0] / "tree.json").exists() else None
     # checkpoint format details are covered elsewhere; existence is the gate
