@@ -17,7 +17,7 @@ SR = 8000
 
 
 def make_mini_librimix(root, n_mix=8, n_speakers=4, min_sec=2.0, max_sec=4.0,
-                       seed=0, n_src=2, noisy=False):
+                       seed=0, n_src=2, noisy=False, sample_rate=SR):
     """Creates wavs + mixture CSV under ``root``; returns csv_path.
 
     ``n_src=3`` emits a Libri3Mix-style corpus: three-speaker mixture stems
@@ -30,6 +30,7 @@ def make_mini_librimix(root, n_mix=8, n_speakers=4, min_sec=2.0, max_sec=4.0,
     condition of the reference's published noisy row,
     metrics/dprnn-spe/final_metrics_attention_noisy.json)."""
     rng = np.random.default_rng(seed)
+    sr = int(sample_rate)
     mix_dir = "mix_both" if noisy else "mix_clean"
     os.makedirs(f"{root}/{mix_dir}", exist_ok=True)
     for j in range(n_src):
@@ -39,8 +40,8 @@ def make_mini_librimix(root, n_mix=8, n_speakers=4, min_sec=2.0, max_sec=4.0,
     for i in range(n_mix):
         spks = rng.choice(n_speakers, size=n_src, replace=False) + 1000
         utts, srcs = [], []
-        T = int(SR * rng.uniform(min_sec, max_sec))
-        t = np.arange(T) / SR
+        T = int(sr * rng.uniform(min_sec, max_sec))
+        t = np.arange(T) / sr
         for j, spk in enumerate(spks):
             utt_counter[spk] = utt_counter.get(spk, 0) + 1
             utts.append(f"{spk}-{(j + 1) * 100 + i}-{utt_counter[spk]:04d}")
@@ -61,11 +62,11 @@ def make_mini_librimix(root, n_mix=8, n_speakers=4, min_sec=2.0, max_sec=4.0,
             mix = mix + noise
         stem = "_".join(utts)
         mix_path = f"{root}/{mix_dir}/{stem}.wav"
-        wav.write(mix_path, mix, SR)
+        wav.write(mix_path, mix, sr)
         row = dict(mixture_ID=stem, mixture_path=mix_path, length=T)
         for j, s in enumerate(srcs):
             p = f"{root}/s{j + 1}/{stem}.wav"
-            wav.write(p, s, SR)
+            wav.write(p, s, sr)
             row[f"source_{j + 1}_path"] = p
         rows.append(row)
     csv_path = f"{root}/mixture_test_{mix_dir}.csv"

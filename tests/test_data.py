@@ -285,3 +285,80 @@ def test_mini_from_download_offline_layout(tmp_path, monkeypatch):
     sl = LibrimixSpe.loaders_from_mini(batch_size=2, segment=1.0)
     sb = next(iter(sl))
     assert sb["mix"].shape == (2, SR) and sb["spk_idx"].shape == (2,)
+
+
+def test_prefetch_worker_exceptions_propagate(tmp_path):
+    """A prefetch-worker exception (corrupt WAV, collate bug) must RE-RAISE
+    in the consumer, for all three loaders — never a silent early end of
+    iteration (which would truncate an epoch, or average a subset of the
+    eval set into final_metrics.json). Reference parity: torch DataLoader
+    workers propagate exceptions (src/datasets/librimix.py:145-183)."""
+    from tss_dprnn_tpu.data.loader import VarLenTrainLoader
+
+    csv = make_mini_librimix(str(tmp_path), n_mix=8, min_sec=1.0, max_sec=2.0)
+    ds = Librimix(csv_path=csv, segment=0.5)
+    ds_full = Librimix(csv_path=csv, segment=None)
+
+    class Boom(RuntimeError):
+        pass
+
+    def make_failing(collate, fail_on_call):
+        calls = {"n": 0}
+
+        def failing(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == fail_on_call:
+                raise Boom("decode failed mid-epoch")
+            return collate(*args, **kwargs)
+
+        return failing
+
+    # TrainLoader: failure on the 2nd batch of 4
+    tl = TrainLoader(ds, batch_size=2, collate_fn=make_failing(collate_bss, 2),
+                     seed=0, prefetch=2)
+    with pytest.raises(Boom):
+        list(tl)
+
+    # BucketedEvalLoader (the shipped test-CLI path, prefetch defaults to 2)
+    el = BucketedEvalLoader(ds_full, batch_size=2, collate_fn=make_failing(
+        collate_bss_eval, 2), lengths=ds_full.lengths(), n_buckets=2,
+        multiple=4000)
+    with pytest.raises(Boom):
+        list(el)
+
+    # VarLenTrainLoader
+    vl = VarLenTrainLoader(ds_full, batch_size=2,
+                           collate_fn=make_failing(collate_bss_eval, 2),
+                           lengths=ds_full.lengths(), seed=0, n_buckets=2,
+                           multiple=4000, prefetch=2)
+    with pytest.raises(Boom):
+        list(vl)
+
+    # failure on the FIRST batch propagates too (worker dies before any yield)
+    t0 = TrainLoader(ds, batch_size=2, collate_fn=make_failing(collate_bss, 1),
+                     seed=0, prefetch=2)
+    with pytest.raises(Boom):
+        next(iter(t0))
+
+
+def test_prefetch_abandoned_consumer_unblocks_worker(tmp_path):
+    """A consumer that stops iterating early must not leave the worker thread
+    blocked forever on a full queue (generator close sets the cancel flag)."""
+    import threading
+    import time
+
+    csv = make_mini_librimix(str(tmp_path), n_mix=8, min_sec=1.0, max_sec=1.5)
+    ds = Librimix(csv_path=csv, segment=0.5)
+    before = {t.ident for t in threading.enumerate()}
+    tl = TrainLoader(ds, batch_size=1, collate_fn=collate_bss, seed=0, prefetch=1)
+    it = iter(tl)
+    next(it)  # worker now blocked trying to enqueue further batches
+    it.close()  # abandon iteration
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, f"prefetch worker leaked: {alive}"

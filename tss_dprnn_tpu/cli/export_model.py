@@ -29,7 +29,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="tss_dprnn_tpu serving export")
     parser.add_argument("--config", required=True)
     parser.add_argument("--mode", default="tss_spe", choices=MODES)
-    parser.add_argument("--set", nargs="*", default=[])
+    parser.add_argument("--set", action="extend", nargs="*", default=[])
     parser.add_argument("--out", required=True, help="output artifact path (.tssx)")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--secs", type=float, action="append",

@@ -20,7 +20,7 @@ from tss_dprnn_tpu.utils.logging_util import get_logger
 def main(argv=None):
     parser = argparse.ArgumentParser(description="freeze dataset manifests")
     parser.add_argument("--config", required=True)
-    parser.add_argument("--set", nargs="*", default=[])
+    parser.add_argument("--set", action="extend", nargs="*", default=[])
     args = parser.parse_args(argv)
     logger = get_logger("generate_manifests")
     config = load_config(args.config, args.set)

@@ -43,7 +43,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="tss_dprnn_tpu single-file separation")
     parser.add_argument("--config", required=True)
     parser.add_argument("--mode", default="bss", choices=MODES)
-    parser.add_argument("--set", nargs="*", default=[])
+    parser.add_argument("--set", action="extend", nargs="*", default=[])
     parser.add_argument("--mix", required=True, help="input mixture WAV")
     parser.add_argument("--ref", help="speaker reference WAV (tss modes)")
     parser.add_argument("--out", required=True, help="output WAV path; BSS writes "

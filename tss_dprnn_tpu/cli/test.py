@@ -23,7 +23,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="tss_dprnn_tpu evaluation")
     parser.add_argument("--config", required=True)
     parser.add_argument("--mode", default="bss", choices=MODES)
-    parser.add_argument("--set", nargs="*", default=[])
+    parser.add_argument("--set", action="extend", nargs="*", default=[])
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--n-buckets", type=int, default=8)
     parser.add_argument("--data-parallel", type=int, default=1, metavar="N",

@@ -23,7 +23,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="tss_dprnn_tpu training")
     parser.add_argument("--config", required=True)
     parser.add_argument("--mode", default="bss", choices=MODES)
-    parser.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
+    parser.add_argument("--set", action="extend", nargs="*", default=[],
+                        help="dotted config overrides (repeatable)")
     args = parser.parse_args(argv)
 
     logger = get_logger("train")

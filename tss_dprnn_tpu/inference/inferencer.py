@@ -75,6 +75,10 @@ class Inferencer:
         self.device_pesq = bool(config.get("device_pesq", False))
         if self.device_pesq:
             self.device_metrics = True
+        # same variant selection as the host path (ops/metrics.py pesq_score):
+        # narrowband below 16 kHz, wideband at/above — a 16 kHz config must
+        # not silently score narrowband on the device lane
+        self._pesq_mode = "nb" if self.sample_rate < 16000 else "wb"
         # Multi-chip eval (replaces the reference's serial per-utterance loop,
         # src/inferencers/inferencer.py:48-78, at scale): variables replicate
         # over the mesh, bucketed batches shard axis 0 over the 'data' axis,
@@ -141,12 +145,14 @@ class Inferencer:
 
             n_src = est.shape[1]
             dm["pesq"] = jnp.stack(
-                [pesq_batch(batch["sources"][:, j], est[:, j], lens, self.sample_rate)
+                [pesq_batch(batch["sources"][:, j], est[:, j], lens, self.sample_rate,
+                            mode=self._pesq_mode)
                  for j in range(n_src)], axis=1)
             dm["input_pesq"] = jnp.stack(
-                [pesq_batch(batch["sources"][:, j], batch["mix"], lens, self.sample_rate)
+                [pesq_batch(batch["sources"][:, j], batch["mix"], lens, self.sample_rate,
+                            mode=self._pesq_mode)
                  for j in range(n_src)], axis=1)
-        return self._encode_wire(est), dm
+        return self._encode_wire(est, lens), dm
 
     # Host-side consumers of the separated audio in the device-metrics lane
     # (PESQ, reporter audio rows) — when none apply, the audio never leaves
@@ -157,15 +163,25 @@ class Inferencer:
         host_pesq = "pesq" in self.metrics and not self.device_pesq
         return host_pesq or self.reporter is not None
 
-    def _encode_wire(self, est):
+    def _encode_wire(self, est, lengths):
         """int16 PCM wire format for the device->host audio transfer (half
         of fp32; quantization at -96 dBFS — orders of magnitude below any
         metric's sensitivity). Skipped entirely when nothing on host needs
-        the audio."""
+        the audio.
+
+        Model output at t >= lengths is garbage-by-contract (the masked
+        kernels hold padded positions at the zero init only on the scan
+        path; see scripts/perf/grad_check_tpu.py), so the padding is zeroed
+        FIRST and the quantization peak is taken over the valid region only
+        — a padding artifact must not coarsen the valid samples' scale."""
         import jax.numpy as jnp
 
         if not self._need_est_on_host():
             return None
+        T = est.shape[-1]
+        valid = jnp.arange(T) < jnp.reshape(
+            lengths, lengths.shape + (1,) * (est.ndim - 1))
+        est = jnp.where(valid, est, 0.0)
         peak = jnp.max(jnp.abs(est), axis=-1, keepdims=True)
         scale = 32767.0 / jnp.maximum(peak, 1e-9)
         return (jnp.clip(est * scale, -32767, 32767).astype(jnp.int16),

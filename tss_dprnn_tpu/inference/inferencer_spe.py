@@ -46,9 +46,11 @@ class InferencerSpe(Inferencer):
         if "pesq" in self.metrics and self.device_pesq:
             from tss_dprnn_tpu.ops.pesq_jax import pesq_batch
 
-            dm["pesq"] = pesq_batch(target, est, lens, self.sample_rate)
-            dm["input_pesq"] = pesq_batch(target, batch["mix"], lens, self.sample_rate)
-        return self._encode_wire(est), dm
+            dm["pesq"] = pesq_batch(target, est, lens, self.sample_rate,
+                                    mode=self._pesq_mode)
+            dm["input_pesq"] = pesq_batch(target, batch["mix"], lens, self.sample_rate,
+                                          mode=self._pesq_mode)
+        return self._encode_wire(est, lens), dm
 
     def _run_forward(self, batch):
         if self.device_metrics:

@@ -127,9 +127,13 @@ def _estimate_delay_row(ref, deg, l, fs):
     ok = jnp.abs(lags) < jnp.maximum(n_blk, 1)
     coarse = lags[jnp.argmax(jnp.where(ok, xc, -jnp.inf))] * block
 
-    # fine pass: +-1.5 blocks around coarse, one full-rate FFT correlation
+    # fine pass: +-1.5 blocks around coarse, one full-rate FFT correlation.
+    # Size the FFT at >= 2T so the correlation stays LINEAR for every
+    # admissible lag (|coarse| can reach n - block ~ T; the host sizes by
+    # n + max|lag| + 1, ops/pesq.py:193 — a T + 2*block pad wraps circularly
+    # for multi-second delays and the fine argmax would read aliased values)
     n = l // block * block  # host truncates to whole blocks
-    size2 = 2 ** int(math.ceil(math.log2(T + 2 * block + 2)))
+    size2 = 2 ** int(math.ceil(math.log2(2 * T)))
     cc = jnp.fft.irfft(
         jnp.fft.rfft(jnp.where(jnp.arange(T) < n, deg, 0.0), size2)
         * jnp.conj(jnp.fft.rfft(jnp.where(jnp.arange(T) < n, ref, 0.0), size2)),
