@@ -386,3 +386,47 @@ def test_encode_wire_peak_ignores_padding_garbage():
         np.testing.assert_allclose(dec[b, :, :l], est[b, :, :l],
                                    atol=1.2 * peak / 32767)
         assert np.all(dec[b, :, l:] == 0.0)
+
+
+def test_sharded_device_metrics_equal_single_device(tmp_path):
+    """Round-4 VERDICT item 3: the device-metric lane (PIT + SI-SDR + STOI +
+    full device PESQ in the jitted graph) composed WITH mesh sharding must
+    reproduce the single-device rows — including NaN short-row semantics
+    (STOI NaNs under ~0.4 s at 8 kHz) and pad_to_batch filler drops. The
+    one-hot compaction matmuls and per-row lax.scan run under GSPMD batch
+    sharding here, exactly the composition the multi-chip eval CLI ships."""
+    import pandas as pd
+
+    from tss_dprnn_tpu.parallel import make_mesh
+
+    # min_sec 0.3: some rows are long enough for PESQ (>= 0.25 s) but too
+    # short for STOI's 30-frame minimum -> NaN rows must survive sharding
+    csv = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=0.3, max_sec=2.0)
+    test_set = LibrimixSpe(csv_path=csv, segment=None)
+    model = DPRNNSpeTasNet(**TINY, O=8, P=12, embeddings_size=8, num_spks=8,
+                           fusion_type="att")
+    z = np.zeros((1, SR), np.float32)
+    path = _save_random_checkpoint(tmp_path, model, (z, z, np.array([SR], np.float32)))
+
+    def run(savedir, mesh):
+        config = {"checkpoint_path": path, "test_savedir": str(tmp_path / savedir),
+                  "data": {"sample_rate": SR},
+                  "metrics": ["si_sdr", "stoi", "pesq"],
+                  "device_metrics": True, "device_pesq": True}
+        inf = InferencerSpe(model, config, mesh=mesh)
+        assert not inf._need_est_on_host()  # audio stays on device
+        # batch 4 over a 4-way data axis; 6 utterances -> ragged tails padded
+        return inf.run(test_set, batch_size=4, n_buckets=2, bucket_multiple=2000)
+
+    run("dm_single", None)
+    run("dm_sharded", make_mesh(data=4))
+    df_s = pd.read_csv(tmp_path / "dm_single" / "all_metrics.csv", index_col=0)
+    df_m = pd.read_csv(tmp_path / "dm_sharded" / "all_metrics.csv", index_col=0)
+    assert len(df_m) == len(df_s) == 6  # filler rows dropped
+    assert df_s["stoi"].isna().any(), "fixture should include short STOI-NaN rows"
+    for col in ("si_sdr", "input_si_sdr", "stoi", "input_stoi"):
+        np.testing.assert_array_equal(np.isnan(df_m[col]), np.isnan(df_s[col]))
+        np.testing.assert_allclose(df_m[col], df_s[col], atol=5e-3)
+    for col in ("pesq", "input_pesq"):
+        np.testing.assert_array_equal(np.isnan(df_m[col]), np.isnan(df_s[col]))
+        np.testing.assert_allclose(df_m[col], df_s[col], atol=0.02)
