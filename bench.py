@@ -122,7 +122,10 @@ def main():
 
     @jax.jit
     def fwd(mix, aux, aux_len):
-        with rnn_ops.lstm_backend(backend):
+        # time-major block layout for the bf16+pallas lane (round-5 measured
+        # win, masked 426->437x / unmasked 413->439x) — same default the
+        # Inferencer ships; TSS_TM=1/0 still force-overrides
+        with rnn_ops.lstm_backend(backend), rnn_ops.lstm_time_major(fast):
             if masked:
                 wav, _ = model.apply(variables, mix, aux, aux_len, lengths=lengths)
             else:

@@ -105,7 +105,9 @@ def bench_variant(variant: str, path: str, batch: int, masked: bool = False) -> 
 
     @jax.jit
     def fwd(*a):
-        with rnn_ops.lstm_backend(backend):
+        # bf16+pallas lanes run time-major like the shipped Inferencer
+        # (round-5 measured win); fp32 lanes stay batch-major
+        with rnn_ops.lstm_backend(backend), rnn_ops.lstm_time_major(bf16 and backend == "pallas"):
             if masked:
                 out = model.apply(variables, *a, lengths=lengths)
             else:

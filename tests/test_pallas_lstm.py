@@ -294,3 +294,69 @@ def test_bilstm2_masked_matches_stacked_path(rng, monkeypatch):
     g_ref = jax.grad(loss, argnums=(0, 1, 2))(x, fwd, bwd)
     for a, b in zip(jax.tree_util.tree_leaves(g_pal), jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4)
+
+
+def test_time_major_masked_block_path_matches_batch_major(rng, monkeypatch):
+    """Round-5: the MASKED lane can run time-major too (the masked kernel
+    core was already time-major — only the public entry + chunk-mask
+    plumbing were missing). DPRNNCore's masked tm path must reproduce the
+    masked batch-major pallas path on the valid region — forward and param
+    grads — for ragged lengths including a full-length row."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    import tss_dprnn_tpu.models.dprnn as dm
+    from tss_dprnn_tpu.models.dprnn import DPRNNTasNet
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    monkeypatch.setenv("TSS_TM", "1")
+    m = DPRNNTasNet(input_size=12, feature_size=8, hidden_size=6, chunk_length=10,
+                    kernel_size=2, n_repeats=2, norm_type="ln", remat=True)
+    B, T = 3, 160
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T))
+    lengths = jnp.array([160, 100, 47], jnp.int32)
+    params = m.init(jax.random.PRNGKey(1), x)
+    tmask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
+
+    def loss(p):
+        out = m.apply(p, x, lengths=lengths)
+        return jnp.sum(jnp.square(out * tmask[:, None, :]))
+
+    with rnn.lstm_backend("pallas"):
+        out_tm = np.asarray(m.apply(params, x, lengths=lengths))
+        g_tm = jax.grad(loss)(params)
+    monkeypatch.setattr(dm.rnn_ops, "lstm_time_major_available", lambda *a, **k: False)
+    with rnn.lstm_backend("pallas"):
+        out_bm = np.asarray(m.apply(params, x, lengths=lengths))
+        g_bm = jax.grad(loss)(params)
+    for b in range(B):
+        l = int(lengths[b])
+        np.testing.assert_allclose(out_tm[b, :, :l], out_bm[b, :, :l],
+                                   atol=1e-6, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_tm), jax.tree_util.tree_leaves(g_bm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_masked_tm_kernel_matches_masked_batch_major(rng, monkeypatch):
+    """bilstm2_forward_masked_tm == bilstm2_forward_masked on the transposed
+    input (same core; only the public swapaxes differ), incl. ragged lengths
+    with a length-1 row and indivisible T."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    from tss_dprnn_tpu.ops import pallas_lstm as pk
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    B, T, F, H = 4, 11, 16, 8
+    lengths = np.array([11, 7, 1, 4], np.int32)
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    fwd = _weights(rng, F, H)
+    bwd = _weights(rng, F, H)
+    wi = np.stack([fwd.w_ih, bwd.w_ih])
+    wh = np.stack([fwd.w_hh, bwd.w_hh])
+    b2 = np.stack([fwd.b, bwd.b])
+    o0_bm, o1_bm = pk.bilstm2_forward_masked(x, lengths, wi, b2, wh)
+    o0_tm, o1_tm = pk.bilstm2_forward_masked_tm(
+        jnp.swapaxes(x, 0, 1), lengths, wi, b2, wh)
+    np.testing.assert_array_equal(np.asarray(jnp.swapaxes(o0_tm, 0, 1)), np.asarray(o0_bm))
+    np.testing.assert_array_equal(np.asarray(jnp.swapaxes(o1_tm, 0, 1)), np.asarray(o1_bm))

@@ -91,9 +91,17 @@ class Inferencer:
             self.variables = jax.device_put(self.variables, replicated(mesh))
 
         def fwd(batch):
+            import jax.numpy as jnp
+
             from tss_dprnn_tpu.ops import rnn as rnn_ops
 
-            with rnn_ops.lstm_backend(self.lstm_backend):
+            # time-major block layout: measured win for the bf16+pallas
+            # fast lane (round 5); fp32 lanes keep batch-major (see
+            # rnn_ops.lstm_time_major_available)
+            tm = (self.lstm_backend == "pallas"
+                  and getattr(self.model, "dtype", None) == jnp.bfloat16)
+            with rnn_ops.lstm_backend(self.lstm_backend), \
+                    rnn_ops.lstm_time_major(tm):
                 if self.device_metrics:
                     return self._forward_with_metrics(batch)
                 return self._forward(batch)

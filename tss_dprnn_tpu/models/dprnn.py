@@ -68,7 +68,7 @@ class DPRNNBlock(nn.Module):
     @nn.compact
     def __call__(self, x, chunk_lengths=None):
         if self.time_major:
-            return self._tm_call(x)
+            return self._tm_call(x, chunk_lengths)
         B, S, K, N = x.shape
         chunk_mask = None
         if chunk_lengths is not None:
@@ -116,32 +116,47 @@ class DPRNNBlock(nn.Module):
         h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="inter_norm")(h, chunk_mask)
         return x + h
 
-    def _tm_call(self, x):
+    def _tm_call(self, x, chunk_lengths=None):
         """Time-major body: x [K, B, S, N] -> [K, B, S, N]. Same submodules
         (identical param tree), but each scan consumes/produces the kernel
         layout directly; the only relayouts are the two intrinsic K<->S
-        transposes per block."""
+        transposes per block. With ``chunk_lengths`` the masked lane runs
+        time-major too: the chunk mask rides [1, B, S, 1] (norm batch_axis=1)
+        and the inter scan takes per-row lengths into the mask-aware tm
+        kernel."""
         K, B, S, N = x.shape
+        chunk_mask = None
+        inter_lengths = None
+        if chunk_lengths is not None:
+            chunk_mask = (
+                jnp.arange(S)[None, None, :, None] < chunk_lengths[None, :, None, None]
+            ).astype(x.dtype)
+            inter_lengths = jnp.repeat(chunk_lengths, K, total_repeat_length=B * K)
 
-        # intra-chunk pass: time K, rows B*S
+        # intra-chunk pass: time K, rows B*S (unmasked — padded chunks carry
+        # zeros and their garbage outputs are masked by the norm, exactly as
+        # on the batch-major path)
         h = x.reshape(K, B * S, N)
         o0, o1 = RNNCore(self.hidden_size, True, self.rnn_type, self.dtype, name="intra_rnn")(
             h, time_major=True, return_pair=True
         )
         h = SplitDense(N, 2 * self.hidden_size, name="intra_linear", dtype=self.dtype)(o0, o1)
         h = h.reshape(K, B, S, N)
-        h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="intra_norm")(h, batch_axis=1)
+        h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="intra_norm")(
+            h, chunk_mask, batch_axis=1)
         x = x + h
 
         # inter-chunk pass: time S, rows B*K
         x = jnp.transpose(x, (2, 1, 0, 3))  # [S, B, K, N]
         h = x.reshape(S, B * K, N)
         o0, o1 = RNNCore(self.hidden_size, self.bidirectional, self.rnn_type, self.dtype, name="inter_rnn")(
-            h, time_major=True, return_pair=True
+            h, inter_lengths, time_major=True, return_pair=True
         )
         h = SplitDense(N, 2 * self.hidden_size, name="inter_linear", dtype=self.dtype)(o0, o1)
         h = h.reshape(S, B, K, N)
-        h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="inter_norm")(h, batch_axis=1)
+        inter_mask = None if chunk_mask is None else jnp.transpose(chunk_mask, (2, 1, 0, 3))
+        h = GlobalNorm(N, self.norm_type, dtype=self.dtype, name="inter_norm")(
+            h, inter_mask, batch_axis=1)
         x = x + h
         return jnp.transpose(x, (2, 1, 0, 3))  # back to [K, B, S, N]
 
@@ -197,13 +212,13 @@ class DPRNNCore(nn.Module):
             h = h.astype(self.dtype)
         h = chunking.segment_cl(h, K, H)  # [B, S, K, F]
         S = h.shape[1]
-        # time-major fast path (see DPRNNBlock.time_major): only for unmasked
-        # bidirectional-LSTM runs on the fused pallas backend
+        # time-major fast path (see DPRNNBlock.time_major): bidirectional-
+        # LSTM runs on the fused pallas backend, masked or not (the masked
+        # tm kernel pair landed in round 5)
         use_tm = (
-            chunk_lengths is None
-            and self.rnn_type == "LSTM"
+            self.rnn_type == "LSTM"
             and self.bidirectional
-            and rnn_ops.lstm_time_major_available(True, None)
+            and rnn_ops.lstm_time_major_available(True, chunk_lengths)
         )
         if use_tm:
             h = jnp.transpose(h, (2, 0, 1, 3))  # [K, B, S, F]

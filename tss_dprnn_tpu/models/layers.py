@@ -156,10 +156,12 @@ class RNNCore(nn.Module):
                 )
             if time_major:
                 # x is [T, R, F]; only valid on the fused bidirectional
-                # pallas path (caller gates on lstm_time_major_available)
-                assert bwd is not None and lengths is None
+                # pallas path (caller gates on lstm_time_major_available);
+                # lengths [R] selects the mask-aware kernel
+                assert bwd is not None
                 if return_pair:
-                    return rnn_ops.lstm_pair_tm(x, to_lstm(fwd), to_lstm(bwd))
+                    return rnn_ops.lstm_pair_tm(x, to_lstm(fwd), to_lstm(bwd), lengths)
+                assert lengths is None
                 return rnn_ops.lstm_tm(x, to_lstm(fwd), to_lstm(bwd))
             if return_pair:
                 # direction pair for a SplitDense consumer (concat skipped)

@@ -1035,6 +1035,34 @@ def bilstm2_forward_tm(x, w_ih2, b2, w_hh2, row_tile: int = 512, unroll: int = 5
     return o0, o1
 
 
+@functools.partial(jax.jit, static_argnames=("row_tile", "unroll"))
+def bilstm2_forward_masked_tm(x, lens, w_ih2, b2, w_hh2, row_tile: int = 512,
+                              unroll: int = 5):
+    """Mask-aware time-major inference: x [T, R, F], lens [R] -> (out0, out1)
+    each [T, R, H], both in forward time — :func:`bilstm2_forward_masked`
+    without the surrounding swapaxes pair (the masked core is ALREADY
+    time-major; the batch-major entry exists only for the [B, T, F] public
+    layout). Same per-row dir-1 hold-until-length predicate; out1[t >= len]
+    is 0, out0[t >= len] is garbage-by-contract."""
+    T, R, _ = x.shape
+    o0, o1 = _bilstm2_core_tm(x, w_ih2, b2, w_hh2, row_tile, unroll, False,
+                              lens=lens)
+    if o0.shape[0] != T or o0.shape[1] != R:
+        o0, o1 = o0[:T, :R], o1[:T, :R]
+    return o0, o1
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bilstm2_forward_resid_masked_tm(x, lens, w_ih2, b2, w_hh2):
+    """Mask-aware time-major training forward: time-major twin of
+    :func:`bilstm2_forward_resid_masked` (residual streams stay in the
+    kernel layout either way; only the public outs skip the swapaxes)."""
+    T, R, _ = x.shape
+    o0, o1, hp0, cp0, tc0, hp1, cp1, tc1, xk = _bilstm2_core_tm(
+        x, w_ih2, b2, w_hh2, _RESID_ROW_TILE, 5, True, lens=lens)
+    return (o0[:T, :R], o1[:T, :R]), (xk, hp0, cp0, tc0, hp1, cp1, tc1)
+
+
 # ---------------------------------------------------------------------------
 # Batch-major bilstm2: the kernel consumes x [R, T, F] and produces
 # [R, T, H] per direction DIRECTLY — the BlockSpec index maps walk the time

@@ -90,6 +90,25 @@ def current_lstm_backend() -> str:
     return _LSTM_BACKEND.get()
 
 
+# Time-major layout opt-in (see lstm_time_major_available): inference
+# entry points (Inferencer, bench) set this for the bf16+pallas fast lane,
+# where it is a measured win since the bf16-resident norm apply (round 5:
+# masked 426 -> 437x, unmasked 413 -> 439x at flagship B=32). Training and
+# the fp32 lanes keep the batch-major default (tm was a measured LOSS there
+# on the pre-round-5 plans and is unmeasured since). TSS_TM=1/0 force-
+# overrides either way.
+_LSTM_TM: contextvars.ContextVar = contextvars.ContextVar("lstm_tm", default=False)
+
+
+@contextlib.contextmanager
+def lstm_time_major(on: bool = True):
+    token = _LSTM_TM.set(bool(on))
+    try:
+        yield
+    finally:
+        _LSTM_TM.reset(token)
+
+
 class LSTMWeights(NamedTuple):
     """Weights for one direction, torch layouts already transposed for x @ W:
 
@@ -501,6 +520,47 @@ _recurrence3_tm.defvjp(_recurrence3_tm_vjp_fwd, _recurrence3_tm_vjp_bwd)
 
 
 @jax.custom_vjp
+def _recurrence3_masked_tm(x, lens, w_ih2, b2, w_hh2):
+    """Mask-aware time-major pallas path: x [T, R, F], lens [R] ->
+    (out_f, out_b) each [T, R, H]. `_recurrence3_masked` without the
+    swapaxes pair on either side — the masked kernel core is already
+    time-major, so the masked lane can keep the DPRNN block's tensors in
+    kernel layout exactly like the unmasked TSS_TM path. Same masked-output
+    contract (t >= len: dir-0 garbage, dir-1 zero; consumers mask)."""
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_forward_masked_tm
+
+    return bilstm2_forward_masked_tm(x, lens, w_ih2, b2, w_hh2)
+
+
+def _recurrence3_masked_tm_vjp_fwd(x, lens, w_ih2, b2, w_hh2):
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_forward_resid_masked_tm
+
+    outs, resid = bilstm2_forward_resid_masked_tm(x, lens, w_ih2, b2, w_hh2)
+    return outs, (*resid, x.shape[0], x.shape[1], lens, w_ih2, b2, w_hh2)
+
+
+def _recurrence3_masked_tm_vjp_bwd(res, g):
+    from tss_dprnn_tpu.ops.pallas_lstm import bilstm2_backward_tm
+
+    xk, hp0, cp0, tc0, hp1, cp1, tc1, T, R, lens, w_ih2, b2, w_hh2 = res
+    g0, g1 = g
+    dx, dw_ih2, db2, dw_hh2 = bilstm2_backward_tm(
+        xk, hp0, cp0, tc0, hp1, cp1, tc1, g0, g1, w_ih2, b2, w_hh2,
+        T=T, R=R, lens=lens)
+    return (
+        dx.astype(xk.dtype),
+        _zero_lens_cotangent(lens),
+        dw_ih2.astype(w_ih2.dtype),
+        db2.astype(b2.dtype),
+        dw_hh2.astype(w_hh2.dtype),
+    )
+
+
+_recurrence3_masked_tm.defvjp(_recurrence3_masked_tm_vjp_fwd,
+                              _recurrence3_masked_tm_vjp_bwd)
+
+
+@jax.custom_vjp
 def _recurrence3_dense(x, w_ih2, b2, w_hh2, wo2):
     """No-stack bidirectional pallas path with the SplitDense contraction
     fused into the scan kernel's epilogue: returns (y0, y1), each [B, T, Fo]
@@ -593,25 +653,28 @@ def lstm_split_dense(x, fwd: LSTMWeights, bwd: LSTMWeights, kernel, lengths=None
 
 
 def lstm_time_major_available(bidirectional: bool, lengths) -> bool:
-    """True when the time-major fused path applies: full-length bidirectional
-    LSTM on the pallas backend without segment checkpointing.
+    """True when the time-major fused path applies: bidirectional LSTM on the
+    pallas backend without segment checkpointing. Masked runs qualify too
+    since round 5 (`_recurrence3_masked_tm` — the masked kernel core was
+    already time-major; only the public entry was missing).
 
-    OPT-IN (``TSS_TM=1``): measured at the flagship shapes, keeping the DPRNN
-    block's tensors in the kernels' [T, rows, F] layout is a NET LOSS on
-    TPU — 298x vs 311x realtime at B=8, and OOM (22.4 GB) at B=32 where the
-    batch-major path fits: XLA inserts layout-conversion copies around the
-    pallas calls (minor-to-major {2,0,1} vs {2,1,0}) and extends live ranges
-    across the explicit 4D transposes, costing more than the swapaxes pairs
-    it removes. Kept behind the flag as tested infrastructure for future
-    layout experiments; see ROUND_NOTES.md."""
+    Selection (round-5 re-measurement): the ``lstm_time_major()`` context —
+    set by the inference entry points for the bf16+pallas fast lane — turns
+    the path on; ``TSS_TM=1``/``TSS_TM=0`` force-override in either
+    direction. History: on the pre-round-5 fusion plans tm was a NET LOSS
+    (298x vs 311x at B=8, OOM at B=32 — XLA extended live ranges across the
+    explicit 4D transposes); after the bf16-resident norm apply changed the
+    plan, tm is a measured WIN on both bf16 inference lanes (masked
+    426 -> 437x, unmasked 413 -> 439x, B=32 flagship) — see ROUND_NOTES.md."""
     import os
 
+    env = os.environ.get("TSS_TM", "")
+    want = _LSTM_TM.get() if env == "" else (env == "1")
     return (
         bidirectional
-        and lengths is None
         and _LSTM_BACKEND.get() == "pallas"
         and _LSTM_SAVE_EVERY.get() <= 1
-        and os.environ.get("TSS_TM", "0") == "1"
+        and want
     )
 
 
@@ -701,13 +764,19 @@ def lstm_pair(x, fwd: LSTMWeights, bwd: LSTMWeights, lengths=None):
     return out[..., :H], out[..., H:]
 
 
-def lstm_pair_tm(x, fwd: LSTMWeights, bwd: LSTMWeights):
+def lstm_pair_tm(x, fwd: LSTMWeights, bwd: LSTMWeights, lengths=None):
     """Time-major twin of :func:`lstm_pair`: x [T, R, F] -> pair of
-    [T, R, H]. Same validity conditions as :func:`lstm_tm`."""
+    [T, R, H]. Same validity conditions as :func:`lstm_tm`; with ``lengths``
+    ([R] ints) the mask-aware kernel runs (dir-1 holds until each row's own
+    length, same contract as the batch-major masked pair)."""
+    if lengths is not None and _LSTM_IGNORE_LENGTHS.get():
+        lengths = None  # schedule_masks pragma: rows are full-length
     w_ih2 = jnp.stack([fwd.w_ih, bwd.w_ih]).astype(x.dtype)
     b2 = jnp.stack([fwd.b, bwd.b])
     w_hh2 = jnp.stack([fwd.w_hh, bwd.w_hh]).astype(x.dtype)
-    return _recurrence3_tm(x, w_ih2, b2, w_hh2)
+    if lengths is None:
+        return _recurrence3_tm(x, w_ih2, b2, w_hh2)
+    return _recurrence3_masked_tm(x, lengths, w_ih2, b2, w_hh2)
 
 
 def vanilla_rnn(x, fwd, bwd=None, lengths=None):
