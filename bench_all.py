@@ -87,7 +87,10 @@ def bench_variant(variant: str, path: str, batch: int, masked: bool = False) -> 
     from tss_dprnn_tpu.ops import rnn as rnn_ops
 
     label, bf16, backend = PATHS[path]
-    model, kind = build(variant, bf16)
+    extra = {}
+    if variant == "ira" and "--ira-share" in sys.argv:
+        extra["share_blocks"] = int(sys.argv[sys.argv.index("--ira-share") + 1])
+    model, kind = build(variant, bf16, **extra)
     B, T = batch, int(SECS * SR)
     rng = np.random.default_rng(0)
     mix = rng.standard_normal((B, T)).astype(np.float32)
@@ -157,6 +160,10 @@ def bench_train_variant(variant: str, path: str, batch: int) -> dict:
     # fit remat-free on the fast path.
     remat = variant == "ira" or not (bf16 and backend == "pallas")
     extra = {"pass1_remat": 3} if variant == "ira" and bf16 and backend == "pallas" else {}
+    if variant == "ira" and "--ira-share" in sys.argv:
+        # shared-early-blocks lane A/B (DPRNNSpeIRA.share_blocks): pass 2
+        # reuses pass-1 activations of the first k blocks
+        extra["share_blocks"] = int(sys.argv[sys.argv.index("--ira-share") + 1])
     model, kind = build(variant, bf16, remat=remat, **extra)
     B, T = batch, int(TRAIN_SECS * SR)  # 3 s @ 8 kHz, the reference's crop
     rng = np.random.default_rng(0)

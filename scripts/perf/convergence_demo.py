@@ -142,7 +142,7 @@ def model_cfg(variant):
 
 def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, lr,
                 fast=True, seed=0, tag="", n_src=2, noisy=False, sched=False,
-                varlen=False):
+                varlen=False, ira_share=0):
     import yaml
 
     from tss_dprnn_tpu.cli import generate_manifests, test as test_cli, train as train_cli
@@ -153,7 +153,8 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
         raise SystemExit("bss is 2-source (reference parity); use a tss variant for 3mix")
     scenario = [s for s in (f"{n_src}mix" if n_src != 2 else "",
                             "noisy" if noisy else "",
-                            "varlen" if varlen else "", tag) if s]
+                            "varlen" if varlen else "",
+                            f"share{ira_share}" if ira_share else "", tag) if s]
     vdir = os.path.join(workdir, "_".join([variant] + scenario) if scenario else variant)
     os.makedirs(vdir, exist_ok=True)
     corpus = dict(n_src=n_src, noisy=noisy)
@@ -173,6 +174,9 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
     _write_and_run(generate_manifests, f"{vdir}/gen.yaml", gen_cfg, [])
 
     train_model = model_cfg(variant)
+    if ira_share:
+        # shared-early-blocks IRA lane (DPRNNSpeIRA.share_blocks)
+        train_model = dict(train_model, share_blocks=int(ira_share))
     if fast:  # the production fast path: bf16 compute + fused Pallas scans
         train_model = dict(train_model, dtype="bfloat16")
     train_cfg = dict(
@@ -254,6 +258,9 @@ def main():
                     help="variable-length training: full-utterance manifests "
                          "(segment=null) + bucketed VarLenTrainLoader with true "
                          "lengths into the masked scan kernels")
+    ap.add_argument("--ira-share", type=int, default=0,
+                    help="DPRNNSpeIRA.share_blocks: pass 2 reuses pass-1 "
+                         "activations of the first k DPRNN blocks")
     ap.add_argument("--no-doc", action="store_true", help="don't append to CONVERGENCE.md")
     args = ap.parse_args()
 
@@ -264,7 +271,7 @@ def main():
                           args.n_eval, args.n_test, args.batch_size, args.lr,
                           fast=not args.no_fast, seed=args.seed, tag=args.tag,
                           n_src=args.n_src, noisy=args.noisy, sched=args.sched,
-                          varlen=args.varlen)
+                          varlen=args.varlen, ira_share=args.ira_share)
     print(json.dumps(res))
     if not args.no_doc:
         doc = os.path.join(REPO, "CONVERGENCE.md")

@@ -362,3 +362,56 @@ def test_prefetch_abandoned_consumer_unblocks_worker(tmp_path):
             break
         time.sleep(0.05)
     assert not alive, f"prefetch worker leaked: {alive}"
+
+
+def test_items_batch_matches_getitem(tmp_path):
+    """The native batched decode (Librimix.items_batch -> wavio.cpp
+    read_batch, one C++ call per chunk) must be bitwise-identical to the
+    per-item __getitem__ path, for BSS and Spe, cropped and full-length."""
+    from tss_dprnn_tpu.data import native
+    from tss_dprnn_tpu.data.librimix import Librimix, LibrimixSpe
+
+    if not native.available():
+        pytest.skip("native wavio not built (no g++?)")
+    csv_path = make_mini_librimix(str(tmp_path), n_mix=6, min_sec=1.0, max_sec=3.0)
+    for segment in (1.0, None):
+        bss = Librimix(csv_path=csv_path, sample_rate=SR, n_src=2, segment=segment)
+        spe = LibrimixSpe(csv_path=csv_path, sample_rate=SR, n_src=2, segment=segment)
+        idxs = [3, 0, 5]
+        for ds in (bss, spe):
+            ref = [ds[i] for i in idxs]
+            got = ds.items_batch(idxs)
+            assert len(got) == len(ref)
+            for r, g in zip(ref, got):
+                assert len(r) == len(g)
+                for a, b in zip(r, g):
+                    if isinstance(a, np.ndarray):
+                        np.testing.assert_array_equal(a, b)
+                    else:
+                        assert a == b
+
+
+def test_items_batch_through_eval_loader(tmp_path):
+    """BucketedEvalLoader batches are identical whether materialization goes
+    through items_batch or the per-item fallback."""
+    from tss_dprnn_tpu.data import native
+    from tss_dprnn_tpu.data.librimix import Librimix
+    from tss_dprnn_tpu.data.loader import BucketedEvalLoader, collate_bss_eval
+
+    if not native.available():
+        pytest.skip("native wavio not built (no g++?)")
+    csv_path = make_mini_librimix(str(tmp_path), n_mix=8, min_sec=1.0, max_sec=4.0)
+    ds = Librimix(csv_path=csv_path, sample_rate=SR, n_src=2, segment=None)
+    mk = lambda d: BucketedEvalLoader(d, 3, collate_bss_eval, d.lengths(),
+                                      n_buckets=2, multiple=500, prefetch=0)
+    batches_native = list(mk(ds))
+
+    class NoBatch(Librimix):
+        items_batch = None
+    ds2 = NoBatch(csv_path=csv_path, sample_rate=SR, n_src=2, segment=None)
+    batches_item = list(mk(ds2))
+    assert len(batches_native) == len(batches_item)
+    for a, b in zip(batches_native, batches_item):
+        assert sorted(a) == sorted(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

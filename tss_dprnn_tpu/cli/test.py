@@ -24,7 +24,11 @@ def main(argv=None):
     parser.add_argument("--config", required=True)
     parser.add_argument("--mode", default="bss", choices=MODES)
     parser.add_argument("--set", action="extend", nargs="*", default=[])
-    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="eval batch size (default 8; 16 when the "
+                             "device-metric lane is on — the device triple "
+                             "amortizes per-batch dispatch, measured 130.7x "
+                             "-> 136.5x e2e at B=16, BENCH_ALL.md)")
     parser.add_argument("--n-buckets", type=int, default=8)
     parser.add_argument("--data-parallel", type=int, default=1, metavar="N",
                         help="shard eval batches over an N-device mesh "
@@ -48,6 +52,9 @@ def main(argv=None):
         config["device_metrics"] = True
     if args.device_pesq:
         config["device_pesq"] = True
+    if args.batch_size is None:
+        device_lane = config.get("device_metrics") or config.get("device_pesq")
+        args.batch_size = 16 if device_lane else 8
     spe, InferencerClass = inference_components(args.mode)
 
     logger.info("Initializing test set....")

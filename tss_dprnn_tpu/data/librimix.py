@@ -101,6 +101,52 @@ class Librimix:
             return [self.seg_len] * len(self)
         return [e["length"] for e in self.entries]
 
+    # ------------------------------------------------- batched native decode
+
+    def _batch_specs(self, idx):
+        """(paths, starts, counts) of every WAV read item ``idx`` needs, plus
+        the per-read split layout — mixture first, then sources (reference
+        read order of __getitem__ is sources-then-mixture, but reads are
+        pure so order only matters for per-epoch crop rng, drawn here)."""
+        e = self.entries[idx]
+        start, stop = self._crop(e)
+        count = (stop - start) if stop is not None else (e["length"] - start)
+        paths = [e["mixture_path"]] + list(e["source_paths"])
+        return paths, [start] * len(paths), [count] * len(paths)
+
+    def _assemble(self, idx, rows, counts):
+        mixture = rows[0][: counts[0]]
+        sources = np.stack([rows[1 + j][: counts[1 + j]]
+                            for j in range(len(rows) - 1)], axis=0)
+        return mixture, sources
+
+    def items_batch(self, indices):
+        """Decode a whole batch of items with ONE call into the native
+        threaded WAV decoder (native/wavio.cpp ``read_batch``) — the loader's
+        eval/varlen materialization uses this instead of n_items x n_files
+        Python-level reads. Falls back to per-item ``__getitem__`` when the
+        native library is unavailable or a mode needs the Python path
+        (return_id, cache_wav). Bitwise-identical items either way
+        (tests/test_data.py::test_items_batch_matches_getitem)."""
+        from tss_dprnn_tpu.data import native
+
+        if self.return_id or self.cache_wav or not native.available():
+            return [self[int(i)] for i in indices]
+        import os
+
+        specs = [self._batch_specs(int(i)) for i in indices]
+        paths = [p for s in specs for p in s[0]]
+        starts = [st for s in specs for st in s[1]]
+        counts = [c for s in specs for c in s[2]]
+        seg_len = max(counts) if counts else 0
+        flat = native.read_batch(paths, starts, counts, seg_len,
+                                 n_threads=min(4, os.cpu_count() or 1))
+        items, off = [], 0
+        for i, (p, _s, c) in zip(indices, specs):
+            items.append(self._assemble(int(i), flat[off : off + len(p)], c))
+            off += len(p)
+        return items
+
     @classmethod
     def mini_from_download(cls, nrows=None, segment=3, **kwargs):
         """MiniLibriMix train/val datasets (reference librimix.py:100-118);
@@ -196,6 +242,21 @@ class LibrimixSpe(Librimix):
         if self.seg_len is not None:
             return [self.seg_len] * len(self)
         return [wav.info(e["reference_path"])["frames"] for e in self.entries]
+
+    def _batch_specs(self, idx):
+        e = self.entries[idx]
+        start, stop = self._crop(e)
+        count = (stop - start) if stop is not None else (e["length"] - start)
+        ref_stop = e["stop_ref"]
+        if ref_stop is None:  # full-length reference (segment=null manifests)
+            ref_stop = wav.info(e["reference_path"])["frames"]
+        paths = [e["mixture_path"], e["source_paths"][0], e["reference_path"]]
+        return paths, [start, start, e["start_ref"]], [count, count, ref_stop - e["start_ref"]]
+
+    def _assemble(self, idx, rows, counts):
+        e = self.entries[idx]
+        return (rows[0][: counts[0]], rows[1][: counts[1]], rows[2][: counts[2]],
+                int(e["speaker_idx"]))
 
     @classmethod
     def mini_from_download(cls, nrows=None, segment=3, **kwargs):

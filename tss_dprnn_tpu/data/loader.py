@@ -78,6 +78,16 @@ def _prefetch_iter(make_items, prefetch: int):
         cancel.set()
 
 
+def _get_items(dataset, indices) -> List:
+    """Batched item materialization: one native threaded decode call for the
+    whole chunk when the dataset supports it (Librimix.items_batch over
+    native/wavio.cpp), else the per-item Python loop."""
+    get_batch = getattr(dataset, "items_batch", None)
+    if get_batch is not None:
+        return get_batch([int(i) for i in indices])
+    return [dataset[int(i)] for i in indices]
+
+
 def _pad_to(x: np.ndarray, T: int) -> np.ndarray:
     if x.shape[0] >= T:
         return x[:T]
@@ -180,14 +190,14 @@ class TrainLoader:
         prefetch thread — the trainer uses it to materialize model/optimizer
         state (shapes only) before its epoch loop."""
         batches = self._index_batches()
-        return self.collate_fn([self.dataset[int(i)] for i in batches[0]])
+        return self.collate_fn(_get_items(self.dataset, batches[0]))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._index_batches()
         self._epoch += 1  # vary the shuffle when the caller never set_epoch()s
         def make_items():
             for b in batches:
-                yield self.collate_fn([self.dataset[int(i)] for i in b])
+                yield self.collate_fn(_get_items(self.dataset, b))
 
         if self.prefetch <= 0:
             yield from make_items()
@@ -278,7 +288,7 @@ class VarLenTrainLoader:
             lo = self.process_index * b_loc
             chunk = chunk[lo : lo + b_loc]
             lengths = lengths[lo : lo + b_loc]
-        batch = self.collate_fn([self.dataset[int(i)] for i in chunk], bucket_T)
+        batch = self.collate_fn(_get_items(self.dataset, chunk), bucket_T)
         batch["lengths"] = lengths
         return batch
 
@@ -401,7 +411,7 @@ class BucketedEvalLoader:
         return plan
 
     def _materialize(self, bucket_T, chunk):
-        items = [self.dataset[int(i)] for i in chunk]
+        items = _get_items(self.dataset, chunk)
         lengths = self.lengths[chunk].astype(np.int32)
         indices = np.asarray(chunk, np.int32)
         if self.pad_to_batch and len(items) < self.batch_size:

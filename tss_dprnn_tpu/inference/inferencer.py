@@ -202,13 +202,58 @@ class Inferencer:
         pcm, scale = wire
         return np.asarray(pcm).astype(np.float32) * np.asarray(scale)
 
-    def _run_forward(self, batch):
+    # keys the jitted forward needs when device metrics are OFF (the device-
+    # metrics graph consumes the full ``_batch_keys`` set)
+    _nodm_keys = ("mix", "lengths")
+
+    def _fwd_keys(self):
+        return self._batch_keys if self.device_metrics else self._nodm_keys
+
+    def _stage(self, batch):
+        """Async host->device placement of a batch's device-bound arrays
+        (``jax.device_put`` / mesh sharding). ``run`` stages batch k+1 right
+        after DISPATCHING batch k, so the H2D transfer rides the device's
+        compute window instead of serializing in front of it — the prefetch
+        thread only overlaps host decode, not the transfer."""
+        d = {k: batch[k] for k in self._fwd_keys()}
+        if self.mesh is not None:
+            from tss_dprnn_tpu.parallel import shard_batch
+
+            return shard_batch(d, self.mesh)
+        return jax.device_put(d)
+
+    def _fetch(self, handles):
+        """Materialize dispatched results on host (the blocking point)."""
         if self.device_metrics:
-            d = self._device_batch({k: batch[k] for k in self._batch_keys})
-            wire, dm = self._fwd(d)
+            wire, dm = handles
             return self._decode_wire(wire), {k: np.asarray(v) for k, v in dm.items()}
-        d = self._device_batch({"mix": batch["mix"], "lengths": batch["lengths"]})
-        return np.asarray(self._fwd(d)), None
+        return np.asarray(handles), None
+
+    def _run_forward(self, batch):
+        return self._fetch(self._fwd(self._stage(batch)))
+
+    def _iter_forward(self, loader):
+        """(batch, out, dm) stream with a depth-2 dispatch pipeline: batch
+        k+1 is decoded (prefetch thread), transferred (``_stage``) AND
+        dispatched while batch k's forward runs, so the device rolls from one
+        batch into the next without a host round-trip between them;
+        ``_fetch`` then blocks on k. Results are bitwise-identical to the
+        serial loop — only the overlap changes."""
+        from collections import deque
+
+        it = iter(loader)
+        batch = next(it, None)
+        if batch is None:
+            return
+        inflight = deque([(batch, self._fwd(self._stage(batch)))])
+        nxt = next(it, None)
+        while inflight:
+            if nxt is not None:
+                inflight.append((nxt, self._fwd(self._stage(nxt))))
+                nxt = next(it, None)
+            b, handles = inflight.popleft()
+            out, dm = self._fetch(handles)
+            yield b, out, dm
 
     def _make_loader(self, test_set, batch_size, n_buckets, multiple):
         return BucketedEvalLoader(
@@ -302,8 +347,7 @@ class Inferencer:
                 series_list.extend(rows)
 
             with ThreadPoolExecutor(max_workers=metrics_workers) as ex:
-                for batch in loader:
-                    out, dm = self._run_forward(batch)
+                for batch, out, dm in self._iter_forward(loader):
                     pending.append(
                         (batch, out, ex.submit(self._metric_rows, batch, out, dm)))
                     while len(pending) > 2 + metrics_workers:  # bound held outputs
@@ -311,8 +355,7 @@ class Inferencer:
                 while pending:
                     consume()
         else:
-            for batch in loader:
-                out, dm = self._run_forward(batch)
+            for batch, out, dm in self._iter_forward(loader):
                 series_list.extend(self._item_rows(batch, out, dm))
         self.logger.info("Finished *** <Total time:%.3f min>.", (time.time() - start_time) / 60)
         return self._save_result(series_list)

@@ -52,14 +52,7 @@ class InferencerSpe(Inferencer):
                                           mode=self._pesq_mode)
         return self._encode_wire(est, lens), dm
 
-    def _run_forward(self, batch):
-        if self.device_metrics:
-            d = self._device_batch({k: batch[k] for k in self._batch_keys})
-            wire, dm = self._fwd(d)
-            return self._decode_wire(wire), {k: np.asarray(v) for k, v in dm.items()}
-        keys = ("mix", "reference", "ref_len", "lengths")
-        d = self._device_batch({k: batch[k] for k in keys})
-        return np.asarray(self._fwd(d)), None
+    _nodm_keys = ("mix", "reference", "ref_len", "lengths")
 
     def _make_loader(self, test_set, batch_size, n_buckets, multiple):
         collate = make_collate_spe_eval(

@@ -187,7 +187,8 @@ class DPRNNCore(nn.Module):
     remat: bool = True
 
     @nn.compact
-    def __call__(self, h, time_mask=None, chunk_lengths=None, remat=None):
+    def __call__(self, h, time_mask=None, chunk_lengths=None, remat=None,
+                 tap_block=None, resume=None):
         """``remat``: per-call override of the module-level policy — IRA's
         two-pass training keeps pass 1 rematerialized but runs pass 2 with
         full residuals (both passes un-remat OOM HBM temp; ONE pass of saved
@@ -198,7 +199,17 @@ class DPRNNCore(nn.Module):
         k blocks and keep full residuals for the rest — fractional remat for
         when the HBM budget fits more than zero but fewer than all blocks'
         saved scan streams (IRA pass 1). True == n_repeats, False == 0.
-        Values are identical under any policy; only memory/recompute differ."""
+        Values are identical under any policy; only memory/recompute differ.
+
+        ``tap_block``/``resume`` implement IRA's shared-early-blocks lane
+        (DPRNNSpeIRA.share_blocks): ``tap_block=k`` additionally returns the
+        chunk-layout activation after block k (k=0: the segmented input);
+        ``resume=(k, tap)`` treats ``h`` as a bottleneck-output DELTA — it is
+        masked/cast/segmented like a normal input, added onto ``tap``, and
+        only blocks k..n_repeats-1 run. Because segmentation and masking are
+        linear, ``resume=(0, tap)`` is EXACTLY the full call on h1+delta; for
+        k>0 the first k blocks' residual contributions are the pass-1 ones
+        (the approximation the shared lane trades for skipping k blocks)."""
         use_remat = self.remat if remat is None else remat
         n_remat = int(self.n_repeats if use_remat is True else use_remat)
         B, L, F = h.shape
@@ -222,8 +233,13 @@ class DPRNNCore(nn.Module):
         )
         if use_tm:
             h = jnp.transpose(h, (2, 0, 1, 3))  # [K, B, S, F]
+        start = 0
+        if resume is not None:
+            start, tap_in = resume
+            h = tap_in + h  # pass-1 residuals of blocks 0..start-1 ride in
+        tap = h if tap_block == 0 else None
         remat_block_cls = nn.remat(DPRNNBlock)
-        for i in range(self.n_repeats):
+        for i in range(start, self.n_repeats):
             block_cls = remat_block_cls if i < n_remat else DPRNNBlock
             h = block_cls(
                 feature_size=F,
@@ -235,6 +251,8 @@ class DPRNNCore(nn.Module):
                 time_major=use_tm,
                 name=f"blocks_{i}",
             )(h, chunk_lengths)
+            if tap_block is not None and i + 1 == tap_block:
+                tap = h
         if use_tm:
             h = jnp.transpose(h, (1, 2, 0, 3))  # back to [B, S, K, F]
         h = PReLU(name="prelu")(h)
@@ -254,7 +272,10 @@ class DPRNNCore(nn.Module):
             h = nn.relu(h)
         else:
             raise ValueError(f"activation_type must be sigmoid/relu, got {self.activation_type}")
-        return h.reshape(B, 2, L, self.input_size)
+        out = h.reshape(B, 2, L, self.input_size)
+        if tap_block is not None:
+            return out, tap
+        return out
 
 
 def _core_kwargs(m):

@@ -43,6 +43,15 @@ class DPRNNSpeIRA(DPRNNSpe):
     # remat — pass 2 always runs with full residuals, and the HBM budget
     # usually fits a few more blocks' saved scan streams than zero).
     pass1_remat: Optional[int] = None
+    # Shared-early-blocks lane (round-5 algorithmic lever): pass 2 reuses
+    # pass 1's activation after block k and only runs blocks k..n_repeats-1
+    # on it plus the segmented bottleneck DELTA (h2 - h1). Segmentation and
+    # masking are linear, so k=0 is mathematically the reference algorithm;
+    # k>0 approximates the first k blocks' pass-2 residual contributions by
+    # their pass-1 values, cutting pass-2 cost by k/n_repeats. Adds NO
+    # parameters — checkpoints interchange with share_blocks=0. Quality at
+    # k>0 is an empirical question; see CONVERGENCE.md 'ira (share3)'.
+    share_blocks: int = 0
 
     @nn.compact
     def __call__(self, x, embeddings, aux_len, lengths=None, train: bool = False):
@@ -55,26 +64,36 @@ class DPRNNSpeIRA(DPRNNSpe):
         afl = None if aux_len is None else self.aux_feat_len(aux_len.astype(jnp.int32))
         aT = None if aux_len is None else self.aux_T(aux_len)
 
+        k = int(self.share_blocks)
+        if not 0 <= k < self.n_repeats:
+            raise ValueError(f"share_blocks must be in [0, n_repeats), got {k}")
+
         # pass 1 (reference :59-81)
         v0 = spk(embeddings, afl, aT, train)
         out_norm = bottleneck_norm(x, time_mask)  # reused by both passes (:64,96)
-        h = fuse(v0, out_norm, lengths)
-        h = bottleneck_dense(h)
-        masks = core(h, time_mask, chunk_lengths, remat=self.pass1_remat)
+        h1 = bottleneck_dense(fuse(v0, out_norm, lengths))
+        if k:
+            masks, tap = core(h1, time_mask, chunk_lengths,
+                              remat=self.pass1_remat, tap_block=k)
+        else:
+            masks = core(h1, time_mask, chunk_lengths, remat=self.pass1_remat)
         d0 = masks[:, 0] * x  # [B, L, N] encoder-space pass-1 estimate
 
         # pass 2 (reference :83-109): re-embed d0 with mixture-domain frame
         # counts but the reference-length divisor (quirk, :84)
         v1 = spk(d0, lengths, aT, train)
         v1 = aux_linear(jnp.concatenate([v0, v1], axis=-1))
-        h = fuse(v1, out_norm, lengths)
-        h = bottleneck_dense(h)
+        h2 = bottleneck_dense(fuse(v1, out_norm, lengths))
         # pass 2 runs with full residuals (remat=False): one pass of saved
         # scan residuals is the single-pass variants' remat-free footprint
         # (fits HBM); only pass 1 keeps the module-level remat policy. Free
         # at inference, ~13% faster training step (backward skips one full
         # core recompute).
-        masks = core(h, time_mask, chunk_lengths, remat=False)
+        if k:
+            masks = core(h2 - h1, time_mask, chunk_lengths, remat=False,
+                         resume=(k, tap))
+        else:
+            masks = core(h2, time_mask, chunk_lengths, remat=False)
         d1 = masks[:, 0] * x
 
         logits = pred(v1)
@@ -90,9 +109,12 @@ class DPRNNSpeIRATasNet(DPRNNSpeTasNet):
     # see DPRNNSpeIRA.pass1_remat (fractional pass-1 remat; None -> module
     # ``remat`` policy, int k -> remat only the first k pass-1 blocks)
     pass1_remat: Optional[int] = None
+    # see DPRNNSpeIRA.share_blocks (pass 2 reuses pass-1 activations of the
+    # first k blocks; 0 = reference-exact two full passes)
+    share_blocks: int = 0
 
     def _separation_kwargs(self):
-        return {"pass1_remat": self.pass1_remat}
+        return {"pass1_remat": self.pass1_remat, "share_blocks": self.share_blocks}
 
     @nn.compact
     def __call__(self, mix, aux, aux_len, lengths=None, train: bool = False):
