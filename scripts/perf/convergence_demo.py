@@ -202,10 +202,15 @@ def run_variant(variant, workdir, epochs, n_train, n_eval, n_test, batch_size, l
 
     best = max((p for p in os.listdir(f"{vdir}/chkpts") if "best" in p),
                key=lambda p: int(p.split("_")[0]))  # numeric: "30_best" > "9_best"
+    test_model = model_cfg(variant)
+    if ira_share:
+        # the shared-blocks lane changes the FORWARD, not the param tree —
+        # weights trained with share_blocks=k must be evaluated with it too
+        test_model = dict(test_model, share_blocks=int(ira_share))
     test_cfg = dict(
         name=f"convergence-{variant}", is_test=True,
         data=dict(use_generated_test=f"{vdir}/m/test.json", sample_rate=SR),
-        model=model_cfg(variant), checkpoint_path=f"{vdir}/chkpts/{best}",
+        model=test_model, checkpoint_path=f"{vdir}/chkpts/{best}",
         test_savedir=f"{vdir}/metrics", metrics=["si_sdr", "stoi"],
     )
     t0 = time.perf_counter()

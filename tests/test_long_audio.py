@@ -143,3 +143,24 @@ def test_rejects_bad_args():
         WindowedSeparator(fwd, 100, hop=101)
     with pytest.raises(ValueError):
         WindowedSeparator(fwd, 100)(np.zeros((2, 100), np.float32))
+
+
+def test_bss_windowed_wire_matches_f32():
+    """The int16 wire path (device->host transfer halved) matches the exact
+    fp32 path within the -96 dBFS quantization envelope."""
+    import jax
+
+    from tss_dprnn_tpu.models import DPRNNTasNet
+
+    model = DPRNNTasNet(input_size=8, feature_size=12, hidden_size=10,
+                        chunk_length=40, hop_length=20, n_repeats=1)
+    W, T = 800, 2000
+    mix = np.random.default_rng(0).standard_normal(T).astype(np.float32) * 0.3
+    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, W), np.float32))
+    out_wire = bss_windowed(model, variables, window=W, batch_size=2,
+                            lstm_backend="xla", wire=True)(mix)
+    out_f32 = bss_windowed(model, variables, window=W, batch_size=2,
+                           lstm_backend="xla", wire=False)(mix)
+    assert out_wire.shape == out_f32.shape == (2, T)
+    peak = np.abs(out_f32).max()
+    assert np.abs(out_wire - out_f32).max() <= peak / 32767 * 2 + 1e-7
