@@ -34,9 +34,11 @@ ln = jax.device_put(np.full((B,), float(T), np.float32))
 lengths = jax.device_put(np.full((B,), T, np.int32))
 variables = model.init(jax.random.PRNGKey(0), mix[:1], aux[:1], ln[:1])
 
+use_tm = "--tm" in sys.argv  # shipped bf16 inference layout (round 5)
+
 @jax.jit
 def fwd(mix, aux, ln, lengths):
-    with rnn_ops.lstm_backend("pallas"):
+    with rnn_ops.lstm_backend("pallas"), rnn_ops.lstm_time_major(use_tm):
         if masked:
             wav, _ = model.apply(variables, mix, aux, ln, lengths=lengths)
         else:
